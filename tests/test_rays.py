@@ -48,9 +48,9 @@ def test_lidar_round_trip_through_projection():
 
 
 def test_camera_dirs_center_pixel():
-    K = np.array([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1]])
-    # pixel whose center is the principal point: i+0.5 == cx
-    ind = jnp.array([int((240 - 0.5)) * 640 + int(320 - 0.5)], dtype=jnp.int32)
+    K = np.array([[500.0, 0, 319.5], [0, 500.0, 239.5], [0, 0, 1]])
+    # pixel whose center (i+0.5, j+0.5) is the principal point
+    ind = jnp.array([239 * 640 + 319], dtype=jnp.int32)
     d = rays.camera_directions_from_indices(ind, 480, 640, K)
     np.testing.assert_allclose(np.asarray(d[0]), [0, 0, 1], atol=1e-6)
 
