@@ -18,7 +18,8 @@ H, W = 66, 1030
 def test_lidar_dirs_match_pano_grid():
     """Per-pixel ray dirs must equal the inverse-projection direction grid."""
     inds = jnp.arange(H * W, dtype=jnp.int32)
-    dirs = rays.lidar_directions_from_indices(inds, H, W, K_L, K_HOZ)
+    dirs = jax.jit(lambda ii: rays.lidar_directions_from_indices(
+        ii, H, W, K_L, K_HOZ))(inds)
     grid = convert.pano_direction_grid(H, W, K_L, K_HOZ).reshape(-1, 3)
     np.testing.assert_allclose(np.asarray(dirs), grid, atol=1e-5)
 
@@ -99,7 +100,9 @@ def test_update_error_map_scatter():
     # scaled errors: min->1, max->1e3; ema: 0.1*1 + 0.9*scaled
     np.testing.assert_allclose(out[0, 0], 0.1 + 0.9 * 1.0, rtol=1e-5)
     np.testing.assert_allclose(out[0, 7], 0.1 + 0.9 * 1e3, rtol=1e-5)
-    assert (out == 1.0).sum() == 4 * 8 - 2
+    # min-error cell EMAs back to exactly 1.0 (0.1*1 + 0.9*1), so only the
+    # max-error cell differs from the initial map
+    assert (out == 1.0).sum() == 4 * 8 - 1
 
 
 def test_sampler_jits():
