@@ -1,0 +1,255 @@
+"""The composed NVSF neural field: separate LiDAR / camera encoder branches,
+shared flow net + sigma net, LiDAR intensity & ray-drop heads, camera color
+head (rebuilds ``nvsf/nerf/models/network_dynamic.py``).
+
+TPU-first notes:
+  - The reference branches on the host int ``frame_idx`` for the ±1-frame
+    temporal warp (``network_dynamic.py:242-271``); here both warp queries
+    are always computed and blended with traced boundary masks so the whole
+    density function jits once with static shapes.
+  - ``torch.no_grad()`` on the warped *hash* queries (grad flows to the flow
+    net only through the K-planes) maps to ``jax.lax.stop_gradient``.
+  - Masked color inference (``network_dynamic.py:290-332``) is dense compute
+    + mask multiply: on TPU, computing all lanes beats gather/scatter
+    compaction at these sizes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from nvsf_tpu.models.encodings import (FREQ_DEG12_DIM, SH_DEG4_DIM,
+                                       frequency_encode, sh_encode_deg4)
+from nvsf_tpu.models.flow import FlowFieldSpec
+from nvsf_tpu.models.hash_grid import HashGrid4DSpec
+from nvsf_tpu.models.mlp import MLPSpec
+from nvsf_tpu.models.planes import Planes4DSpec
+
+
+@jax.custom_vjp
+def trunc_exp(x):
+    """exp with gradient computed at clamp(x, -15, 15)
+    (``nvsf/nerf/activation.py:6-20``)."""
+    return jnp.exp(x)
+
+
+def _trunc_exp_fwd(x):
+    return jnp.exp(x), x
+
+
+def _trunc_exp_bwd(x, g):
+    return (g * jnp.exp(jnp.clip(x, -15.0, 15.0)),)
+
+
+trunc_exp.defvjp(_trunc_exp_fwd, _trunc_exp_bwd)
+
+
+@dataclass(frozen=True)
+class NVSFFieldSpec:
+    # K-planes
+    min_resolution: int = 32
+    n_levels_plane: int = 4
+    n_features_per_level_plane: int = 8
+    # hash grids
+    base_resolution: int = 512
+    max_resolution: int = 32768
+    time_resolution: int = 8
+    n_levels_hash: int = 8
+    n_features_per_level_hash: int = 4
+    log2_hashmap_size: int = 19
+    # MLPs
+    num_layers_flow: int = 3
+    hidden_dim_flow: int = 64
+    flow_n_levels: int = 16
+    flow_n_features_per_level: int = 8
+    flow_base_resolution: int = 32
+    flow_max_resolution: int = 8192
+    flow_log2_hashmap_size: int = 18
+    num_layers_sigma: int = 2
+    hidden_dim_sigma: int = 64
+    geo_feat_dim: int = 15
+    num_layers_lidar: int = 3
+    hidden_dim_lidar: int = 64
+    num_layers_color: int = 3
+    hidden_dim_color: int = 64
+    out_color_dim: int = 3
+    out_lidar_color_dim: int = 2
+    # scene
+    num_frames: int = 51
+    bound: float = 1.0
+
+    # ------------------------------------------------------------------
+    @property
+    def planes_spec(self) -> Planes4DSpec:
+        return Planes4DSpec(
+            output_dim=self.n_features_per_level_plane,
+            resolution=(self.min_resolution,) * 3 + (self.time_resolution,),
+            multiscale_res=tuple(2 ** n for n in range(self.n_levels_plane)))
+
+    @property
+    def hash_spec(self) -> HashGrid4DSpec:
+        return HashGrid4DSpec(
+            base_resolution=self.base_resolution,
+            max_resolution=self.max_resolution,
+            time_resolution=self.time_resolution,
+            n_levels=self.n_levels_hash,
+            n_features_per_level=self.n_features_per_level_hash,
+            log2_hashmap_size=self.log2_hashmap_size)
+
+    @property
+    def flow_spec(self) -> FlowFieldSpec:
+        return FlowFieldSpec(num_layers=self.num_layers_flow,
+                             hidden_dim=self.hidden_dim_flow,
+                             n_levels=self.flow_n_levels,
+                             n_features_per_level=self.flow_n_features_per_level,
+                             base_resolution=self.flow_base_resolution,
+                             max_resolution=self.flow_max_resolution,
+                             log2_hashmap_size=self.flow_log2_hashmap_size)
+
+    @property
+    def feature_dim(self) -> int:
+        return (self.planes_spec.n_output_dims
+                + self.hash_spec.n_output_dims_static
+                + self.hash_spec.n_output_dims_dynamic)  # 64 + 32 + 24 = 120
+
+    @property
+    def sigma_spec(self) -> MLPSpec:
+        return MLPSpec(in_dim=self.feature_dim,
+                       hidden_dim=self.hidden_dim_sigma,
+                       out_dim=1 + self.geo_feat_dim,
+                       n_layers=self.num_layers_sigma)
+
+    @property
+    def intensity_spec(self) -> MLPSpec:
+        return MLPSpec(in_dim=FREQ_DEG12_DIM + self.geo_feat_dim,
+                       hidden_dim=self.hidden_dim_lidar, out_dim=1,
+                       n_layers=self.num_layers_lidar)
+
+    raydrop_spec = intensity_spec
+
+    @property
+    def color_spec(self) -> MLPSpec:
+        return MLPSpec(in_dim=SH_DEG4_DIM + self.geo_feat_dim,
+                       hidden_dim=self.hidden_dim_color,
+                       out_dim=self.out_color_dim,
+                       n_layers=self.num_layers_color)
+
+    # ------------------------------------------------------------------
+    def init(self, key):
+        ks = jax.random.split(key, 9)
+        return {
+            "planes_lidar": self.planes_spec.init(ks[0]),
+            "hash_lidar": self.hash_spec.init(ks[1]),
+            "planes_camera": self.planes_spec.init(ks[2]),
+            "hash_camera": self.hash_spec.init(ks[3]),
+            "flow": self.flow_spec.init(ks[4]),
+            "sigma_net": self.sigma_spec.init(ks[5]),
+            "intensity_net": self.intensity_spec.init(ks[6]),
+            "raydrop_net": self.raydrop_spec.init(ks[7]),
+            "color_net": self.color_spec.init(ks[8]),
+        }
+
+    def lr_labels(self, params) -> dict:
+        """Per-module LR groups: flow / intensity / raydrop train at 0.1x lr
+        (``network_dynamic.py:335-357``)."""
+        slow = {"flow", "intensity_net", "raydrop_net"}
+        return {
+            k: jax.tree.map(lambda _: "slow" if k in slow else "base", v)
+            for k, v in params.items()
+        }
+
+    # ------------------------------------------------------------------
+    def flow(self, params, x, t):
+        """x: [N, 3] in [-bound, bound]; t scalar in [0, 1] -> dict of
+        forward/backward flow (``network_dynamic.py:197-211``)."""
+        xn = (x + self.bound) / (2 * self.bound)
+        tcol = jnp.full((xn.shape[0], 1), jnp.asarray(t, jnp.float32))
+        xt = jnp.concatenate([xn, tcol], axis=-1)
+        f = self.flow_spec.apply(params["flow"], xt)
+        return {"flow_forward": f[:, :3], "flow_backward": f[:, 3:]}
+
+    def density(self, params, x, t, cal_lidar_color=False,
+                compute_dtype=jnp.float32):
+        """x: [N, 3] in [-bound, bound]; t scalar in [0, 1].
+
+        Returns {"sigma": [N], "geo_feat": [N, geo_feat_dim]}
+        (``network_dynamic.py:213-287``).
+        """
+        branch = "lidar" if cal_lidar_color else "camera"
+        hash_p = params[f"hash_{branch}"]
+        plane_p = params[f"planes_{branch}"]
+        hspec, pspec = self.hash_spec, self.planes_spec
+
+        xn = (x + self.bound) / (2 * self.bound)
+        t = jnp.asarray(t, jnp.float32).reshape(())
+        frame_idx = jnp.floor(t * (self.num_frames - 1))
+
+        hash_s = hspec.apply_static(hash_p, xn)
+        hash_d = hspec.apply_dynamic(hash_p, xn, t)
+
+        tcol = jnp.full((xn.shape[0], 1), t)
+        xt = jnp.concatenate([xn, tcol], axis=-1)
+        plane_s, plane_d = pspec.apply(plane_p, xt)
+
+        flow = self.flow_spec.apply(params["flow"], xt, compute_dtype)
+
+        # ±1-frame temporal warp; note the reference normalizes the warped
+        # times by num_frames (not num_frames - 1) — kept as-is.
+        t1 = (frame_idx + 1) / self.num_frames
+        t2 = (frame_idx - 1) / self.num_frames
+        x1 = xn + flow[:, :3]
+        x2 = xn + flow[:, 3:]
+        has_next = frame_idx < self.num_frames - 1
+        has_prev = frame_idx > 0
+
+        hash_1 = jax.lax.stop_gradient(hspec.apply_dynamic(hash_p, x1, t1))
+        hash_2 = jax.lax.stop_gradient(hspec.apply_dynamic(hash_p, x2, t2))
+        xt1 = jnp.concatenate([x1, jnp.full((xn.shape[0], 1), t1)], axis=-1)
+        xt2 = jnp.concatenate([x2, jnp.full((xn.shape[0], 1), t2)], axis=-1)
+        plane_1 = pspec.apply_dynamic(plane_p, xt1)
+        plane_2 = pspec.apply_dynamic(plane_p, xt2)
+
+        hash_1 = jnp.where(has_next, hash_1, hash_d)
+        plane_1 = jnp.where(has_next, plane_1, plane_d)
+        hash_2 = jnp.where(has_prev, hash_2, hash_d)
+        plane_2 = jnp.where(has_prev, plane_2, plane_d)
+
+        plane_d = 0.5 * plane_d + 0.25 * (plane_1 + plane_2)
+        hash_d = 0.5 * hash_d + 0.25 * (hash_1 + hash_2)
+
+        features = jnp.concatenate([plane_s, plane_d, hash_s, hash_d], axis=-1)
+        h = self.sigma_spec.apply(params["sigma_net"], features,
+                                  compute_dtype).astype(jnp.float32)
+        sigma = trunc_exp(h[..., 0])
+        return {"sigma": sigma, "geo_feat": h[..., 1:]}
+
+    def color(self, params, x, d, geo_feat, cal_lidar_color=False, mask=None,
+              compute_dtype=jnp.float32):
+        """Attribute heads (``network_dynamic.py:290-332``).
+
+        d: [N, 3] view dirs in [-1, 1]; geo_feat: [N, G].
+        LiDAR -> [N, 2] (raydrop, intensity); camera -> [N, 3] rgb.
+        """
+        dn = (d + 1.0) / 2.0
+        if cal_lidar_color:
+            enc = frequency_encode(dn, degree=12)
+            logits = jnp.concatenate(
+                [enc, geo_feat], axis=-1).astype(jnp.float32)
+            raydrop = self.raydrop_spec.apply(params["raydrop_net"], logits,
+                                              compute_dtype)
+            intensity = self.intensity_spec.apply(params["intensity_net"],
+                                                  logits, compute_dtype)
+            h = jnp.concatenate([raydrop, intensity], axis=-1)
+        else:
+            enc = sh_encode_deg4(dn)
+            logits = jnp.concatenate(
+                [enc, geo_feat], axis=-1).astype(jnp.float32)
+            h = self.color_spec.apply(params["color_net"], logits,
+                                      compute_dtype)
+        h = jax.nn.sigmoid(h.astype(jnp.float32))
+        if mask is not None:
+            h = jnp.where(mask[:, None], h, 0.0)
+        return h

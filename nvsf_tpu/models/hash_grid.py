@@ -1,0 +1,251 @@
+"""Multi-resolution hash-grid encodings in pure JAX (instant-ngp family).
+
+Replaces the reference's external tiny-cuda-nn ``HashGrid`` encodings:
+  - static 3D grid  (``hash_field.py:108-119``)
+  - time-binned 2D grids ``HashGridT`` (``hash_field.py:29-88``)
+  - the 4D composite ``HashGrid4D`` (``hash_field.py:92-173``)
+  - the flow field's 3D grid + temporal Lagrange basis
+    (``flow_field.py:68-84,105-114``)
+
+Design notes (TPU-first):
+  - Tables are stacked per level: [L, T, F]. Levels whose dense grid fits in
+    T entries are dense-indexed; finer levels use the instant-ngp spatial
+    hash. Gathers use jnp.take, which XLA lowers to efficient dynamic-gather;
+    a fused Pallas kernel lives in ``nvsf_tpu/ops/hash_encoding_pallas.py``
+    for the hot path and must stay numerically equivalent to this module.
+  - The level loop is unrolled in Python (static L), so XLA sees one big
+    fused gather+lerp graph.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PRIMES = (1, 2654435761, 805459861, 3674653429)
+
+
+def level_resolutions(base_resolution: int, max_resolution: int, n_levels: int):
+    """Per-level grid resolutions with tcnn's geometric spacing
+    (``hash_field.py:43,108``)."""
+    if n_levels == 1:
+        return [int(base_resolution)]
+    s = math.exp2(math.log2(max_resolution / base_resolution) / (n_levels - 1))
+    return [int(math.floor(base_resolution * (s ** l))) for l in range(n_levels)]
+
+
+@dataclass(frozen=True)
+class HashEncodingSpec:
+    """One multi-resolution hash encoding over D-dim inputs in [0, 1]^D."""
+    dim: int = 3
+    n_levels: int = 8
+    n_features_per_level: int = 4
+    log2_hashmap_size: int = 19
+    base_resolution: int = 512
+    max_resolution: int = 32768
+
+    @property
+    def table_size(self) -> int:
+        return 1 << self.log2_hashmap_size
+
+    @property
+    def resolutions(self):
+        return level_resolutions(self.base_resolution, self.max_resolution,
+                                 self.n_levels)
+
+    @property
+    def n_output_dims(self) -> int:
+        return self.n_levels * self.n_features_per_level
+
+    def init(self, key):
+        # tcnn init: U(-1e-4, 1e-4)
+        return jax.random.uniform(
+            key, (self.n_levels, self.table_size, self.n_features_per_level),
+            jnp.float32, -1e-4, 1e-4)
+
+    # ------------------------------------------------------------------
+    def _corner_indices(self, level: int, pos_grid: jnp.ndarray) -> jnp.ndarray:
+        """pos_grid: [N, 2^D, D] int32 corner coords -> [N, 2^D] table rows."""
+        res = self.resolutions[level]
+        T = self.table_size
+        if (res + 1) ** self.dim <= T:
+            # dense: row-major over (res+1)^D
+            idx = pos_grid[..., 0]
+            stride = 1
+            for d in range(1, self.dim):
+                stride *= res + 1
+                idx = idx + pos_grid[..., d] * stride
+            return idx
+        # spatial hash (instant-ngp): xor of coord * prime, masked to T
+        h = pos_grid[..., 0].astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
+        for d in range(1, self.dim):
+            h = h ^ (pos_grid[..., d].astype(jnp.uint32) * jnp.uint32(_PRIMES[d]))
+        return (h & jnp.uint32(T - 1)).astype(jnp.int32)
+
+    def apply(self, table: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        """x: [N, D] in [0, 1] -> [N, L * F] features."""
+        D = self.dim
+        n_corners = 1 << D
+        # [2^D, D] corner offsets
+        offs = np.stack(np.meshgrid(*([np.arange(2)] * D), indexing="ij"),
+                        axis=-1).reshape(-1, D)
+        offs = jnp.asarray(offs, dtype=jnp.int32)
+
+        feats = []
+        for l, res in enumerate(self.resolutions):
+            pos = x.astype(jnp.float32) * res  # instant-ngp: scale by res
+            c0 = jnp.floor(pos)
+            w = pos - c0  # [N, D]
+            c0 = c0.astype(jnp.int32)
+            corners = jnp.clip(c0[:, None, :] + offs[None, :, :], 0, res)
+            idx = self._corner_indices(l, corners)  # [N, 2^D]
+            vals = jnp.take(table[l], idx, axis=0)  # [N, 2^D, F]
+            # D-linear interpolation weights
+            wc = jnp.ones(x.shape[:1] + (n_corners,), jnp.float32)
+            for d in range(D):
+                wd = jnp.where(offs[None, :, d] == 1, w[:, d:d + 1],
+                               1.0 - w[:, d:d + 1])
+                wc = wc * wd
+            feats.append(jnp.sum(vals * wc[..., None], axis=1))  # [N, F]
+        return jnp.concatenate(feats, axis=-1)
+
+
+def lagrange_interp_features(x: jnp.ndarray, t, n_levels: int,
+                             n_features_per_level: int,
+                             num_basis: int = 4) -> jnp.ndarray:
+    """Temporal Lagrange-basis interpolation in the feature dimension.
+
+    Mirrors ``HashGridT.interpT`` / ``FlowField.interpT``
+    (``hash_field.py:65-74``, ``flow_field.py:105-114``): view features as
+    [N, L, F], chunk F into ``num_basis`` groups, and blend the groups with
+    the Lagrange basis at normalized time t over nodes T = linspace(0, 1, B).
+    Output dim = L * F / B.
+    """
+    N = x.shape[0]
+    F = n_features_per_level
+    B = num_basis
+    xv = x.reshape(N, n_levels, F)
+    chunks = jnp.split(xv, B, axis=-1)  # B x [N, L, F/B]
+    nodes = [i / (B - 1) for i in range(B)]
+    t = jnp.asarray(t, jnp.float32)
+    out = 0.0
+    for j in range(B):
+        basis = 1.0
+        for m in range(B):
+            if m != j:
+                basis = basis * (t - nodes[m]) / (nodes[j] - nodes[m])
+        out = out + basis * chunks[j]
+    return out.reshape(N, n_levels * F // B)
+
+
+@dataclass(frozen=True)
+class HashGridTSpec:
+    """Time-binned 2D hash grids with linear interp across adjacent bins
+    plus Lagrange feature-basis interp (``hash_field.py:29-88``)."""
+    time_resolution: int = 8
+    base_resolution: int = 512
+    max_resolution: int = 32768
+    n_levels: int = 8
+    n_features_per_level: int = 4
+    log2_hashmap_size: int = 14
+    num_basis: int = 4
+
+    @property
+    def grid(self) -> HashEncodingSpec:
+        return HashEncodingSpec(
+            dim=2, n_levels=self.n_levels,
+            n_features_per_level=self.n_features_per_level,
+            log2_hashmap_size=self.log2_hashmap_size,
+            base_resolution=self.base_resolution,
+            max_resolution=self.max_resolution)
+
+    @property
+    def n_output_dims(self) -> int:
+        return self.n_levels * self.n_features_per_level // self.num_basis
+
+    def init(self, key):
+        keys = jax.random.split(key, self.time_resolution)
+        return jnp.stack([self.grid.init(k) for k in keys])  # [TR, L, T, F]
+
+    def apply(self, tables: jnp.ndarray, x: jnp.ndarray, t) -> jnp.ndarray:
+        """x: [N, 2] in [0,1]; t: scalar in [0,1] -> [N, n_output_dims]."""
+        t = jnp.asarray(t, jnp.float32).reshape(())
+        idx = t * (self.time_resolution - 1)
+        i1 = jnp.floor(idx).astype(jnp.int32)
+        i2 = jnp.minimum(i1 + 1, self.time_resolution - 1)
+        w2 = idx - i1.astype(jnp.float32)
+        f1 = self.grid.apply(
+            jax.lax.dynamic_index_in_dim(tables, i1, 0, keepdims=False), x)
+        f2 = self.grid.apply(
+            jax.lax.dynamic_index_in_dim(tables, i2, 0, keepdims=False), x)
+        feat = (1.0 - w2) * f1 + w2 * f2
+        return lagrange_interp_features(
+            feat, t, self.n_levels, self.n_features_per_level, self.num_basis)
+
+
+@dataclass(frozen=True)
+class HashGrid4DSpec:
+    """Static 3D hash + three time-binned 2D planes (xyt, xzt, yzt)
+    (``hash_field.py:92-173``)."""
+    base_resolution: int = 512
+    max_resolution: int = 32768
+    time_resolution: int = 8
+    n_levels: int = 8
+    n_features_per_level: int = 4
+    log2_hashmap_size: int = 19
+    hash_size_dynamic: Tuple[int, int, int] = (15, 13, 13)  # larger for xy
+
+    @property
+    def static_grid(self) -> HashEncodingSpec:
+        return HashEncodingSpec(
+            dim=3, n_levels=self.n_levels,
+            n_features_per_level=self.n_features_per_level,
+            log2_hashmap_size=self.log2_hashmap_size,
+            base_resolution=self.base_resolution,
+            max_resolution=self.max_resolution)
+
+    def dynamic_grid(self, i: int) -> HashGridTSpec:
+        return HashGridTSpec(
+            time_resolution=self.time_resolution,
+            base_resolution=self.base_resolution,
+            max_resolution=self.max_resolution,
+            n_levels=self.n_levels,
+            n_features_per_level=self.n_features_per_level,
+            log2_hashmap_size=self.hash_size_dynamic[i])
+
+    @property
+    def n_output_dims_static(self) -> int:
+        return self.static_grid.n_output_dims  # 32
+
+    @property
+    def n_output_dims_dynamic(self) -> int:
+        return self.dynamic_grid(0).n_output_dims * 3  # 24 (concat reduction)
+
+    def init(self, key):
+        ks, k0, k1, k2 = jax.random.split(key, 4)
+        return {
+            "static": self.static_grid.init(ks),
+            "dyn_xyt": self.dynamic_grid(0).init(k0),
+            "dyn_xzt": self.dynamic_grid(1).init(k1),
+            "dyn_yzt": self.dynamic_grid(2).init(k2),
+        }
+
+    def apply_static(self, params, x):
+        return self.static_grid.apply(params["static"], x)
+
+    def apply_dynamic(self, params, x, t):
+        xy = x[:, (0, 1)]
+        xz = x[:, (0, 2)]
+        yz = x[:, (1, 2)]
+        f_xyt = self.dynamic_grid(0).apply(params["dyn_xyt"], xy, t)
+        f_xzt = self.dynamic_grid(1).apply(params["dyn_xzt"], xz, t)
+        f_yzt = self.dynamic_grid(2).apply(params["dyn_yzt"], yz, t)
+        return jnp.concatenate([f_xyt, f_xzt, f_yzt], axis=-1)
+
+    def apply(self, params, x, t):
+        return self.apply_static(params, x), self.apply_dynamic(params, x, t)

@@ -1,0 +1,124 @@
+"""K-planes (Planes4D) factorization of the (x, y, z, t) volume in pure JAX.
+
+Rebuilds ``nvsf/nerf/models/planes_field.py``: C(4,2)=6 planes per scale,
+4 multiscale levels (spatial resolution x1/2/4/8, time resolution fixed),
+bilinear lookups with align_corners=True + border padding, static planes
+(xy, xz, yz) and dynamic planes (xt, yt, zt) reduced by product over the
+3 planes of each group, features concatenated across scales.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# combinations of (x, y, z, t) taken 2 at a time, in itertools order
+_COO_COMBS = tuple(itertools.combinations(range(4), 2))
+_STATIC = tuple(ci for ci, cc in enumerate(_COO_COMBS) if 3 not in cc)
+_DYNAMIC = tuple(ci for ci, cc in enumerate(_COO_COMBS) if 3 in cc)
+
+
+def bilinear_sample(plane: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """Sample plane [F, H, W] at continuous coords (u in [0,1] -> W axis,
+    v in [0,1] -> H axis) with align_corners=True + border clamping —
+    F.grid_sample semantics of ``planes_field.py:55-83``."""
+    F, H, W = plane.shape
+    x = jnp.clip(u, 0.0, 1.0) * (W - 1)
+    y = jnp.clip(v, 0.0, 1.0) * (H - 1)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    wx = x - x0
+    wy = y - y0
+    flat = plane.reshape(F, H * W)
+
+    def gather(yy, xx):
+        return jnp.take(flat, yy * W + xx, axis=1).T  # [N, F]
+
+    out = (gather(y0, x0) * ((1 - wx) * (1 - wy))[:, None]
+           + gather(y0, x1) * (wx * (1 - wy))[:, None]
+           + gather(y1, x0) * ((1 - wx) * wy)[:, None]
+           + gather(y1, x1) * (wx * wy)[:, None])
+    return out
+
+
+@dataclass(frozen=True)
+class Planes4DSpec:
+    output_dim: int = 8
+    resolution: Tuple[int, int, int, int] = (32, 32, 32, 8)   # (x, y, z, t)
+    multiscale_res: Tuple[int, ...] = (1, 2, 4, 8)
+    # reduction within a scale's 3-plane group is 'prod' (reference default)
+
+    @property
+    def n_output_dims(self) -> int:
+        # concat over scales, x2 for (static, dynamic)
+        return self.output_dim * len(self.multiscale_res) * 2
+
+    def _scale_resolution(self, s: int):
+        r = list(self.resolution)
+        return [rr * s for rr in r[:3]] + r[3:]  # time res not scaled
+
+    def init(self, key):
+        """Planes stored as [scale][ci] arrays of shape [F, res_b, res_a]
+        for coo_comb (a, b) — time planes init to ones, spatial U(0.1, 0.5)
+        (``planes_field.py:31-52``)."""
+        params = []
+        keys = jax.random.split(key, len(self.multiscale_res) * 6).reshape(
+            len(self.multiscale_res), 6, -1)
+        for si, s in enumerate(self.multiscale_res):
+            reso = self._scale_resolution(s)
+            scale_planes = []
+            for ci, (a, b) in enumerate(_COO_COMBS):
+                shape = (self.output_dim, reso[b], reso[a])
+                if 3 in (a, b):
+                    p = jnp.ones(shape, jnp.float32)
+                else:
+                    p = jax.random.uniform(keys[si, ci], shape, jnp.float32,
+                                           0.1, 0.5)
+                scale_planes.append(p)
+            params.append(scale_planes)
+        return params
+
+    def _interp(self, params, pts, sample_only=None):
+        """pts: [N, 4] in [0,1]. Returns static and/or dynamic features
+        (``planes_field.py:86-140`` semantics, reduction='prod')."""
+        ms_static, ms_dynamic = [], []
+        for si in range(len(self.multiscale_res)):
+            feat_s, feat_d = None, None
+            for ci, (a, b) in enumerate(_COO_COMBS):
+                is_dyn = 3 in (a, b)
+                if sample_only == "static" and is_dyn:
+                    continue
+                if sample_only == "dynamic" and not is_dyn:
+                    continue
+                f = bilinear_sample(params[si][ci], pts[:, a], pts[:, b])
+                if is_dyn:
+                    feat_d = f if feat_d is None else feat_d * f
+                else:
+                    feat_s = f if feat_s is None else feat_s * f
+            if feat_s is not None:
+                ms_static.append(feat_s)
+            if feat_d is not None:
+                ms_dynamic.append(feat_d)
+        static = jnp.concatenate(ms_static, axis=-1) if ms_static else None
+        dynamic = jnp.concatenate(ms_dynamic, axis=-1) if ms_dynamic else None
+        if sample_only == "static":
+            return static
+        if sample_only == "dynamic":
+            return dynamic
+        return static, dynamic
+
+    def apply(self, params, xt):
+        """xt: [N, 4] in [0,1] -> (static [N, 32], dynamic [N, 32])."""
+        return self._interp(params, xt)
+
+    def apply_static(self, params, xt):
+        return self._interp(params, xt, sample_only="static")
+
+    def apply_dynamic(self, params, xt):
+        return self._interp(params, xt, sample_only="dynamic")
