@@ -1,0 +1,239 @@
+"""Volume renderer: uniform z-sampling + alpha compositing, fully jittable.
+
+Rebuilds ``nvsf/nerf/models/renderer_dynamic.py`` TPU-first:
+  - ``near_far_from_aabb`` (the only live piece of the reference's CUDA
+    raymarching extension, ``raymarching.cu:105-181``) is a vectorized slab
+    test in jnp.
+  - ``run()`` (``renderer_dynamic.py:109-265``): uniform ``num_steps``
+    z-sampling with stratified perturb, single batched density query over
+    N*T points, transmittance compositing via cumprod, the 2x active-sensor
+    alpha exponent for LiDAR, masked color query (w > 1e-4), camera
+    background blending.
+  - ``render(staged=True)`` (``renderer_dynamic.py:267-326``): fixed-size ray
+    chunking via ``lax.map`` so full-frame eval compiles once.
+  - ``sample_pdf`` hierarchical CDF importance sampling (implemented and
+    wired to ``upsample_steps`` — present-but-dead in the reference,
+    ``renderer_dynamic.py:8-52``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from nvsf_tpu.models.field import NVSFFieldSpec
+
+
+def near_far_from_aabb(rays_o, rays_d, aabb, min_near=0.05):
+    """Per-ray slab test vs an axis-aligned box (``raymarching.cu:105-181``).
+
+    aabb: [6] = (xmin, ymin, zmin, xmax, ymax, zmax).
+    Returns (nears [N], fars [N]); rays that miss get near=far (zero span).
+    """
+    eps = 1e-15
+    inv_d = 1.0 / jnp.where(jnp.abs(rays_d) < eps,
+                            jnp.where(rays_d >= 0, eps, -eps), rays_d)
+    t0 = (aabb[:3] - rays_o) * inv_d
+    t1 = (aabb[3:] - rays_o) * inv_d
+    tmin = jnp.minimum(t0, t1).max(axis=-1)
+    tmax = jnp.maximum(t0, t1).min(axis=-1)
+    nears = jnp.maximum(tmin, min_near)
+    fars = jnp.maximum(tmax, nears)
+    return nears, fars
+
+
+def sample_pdf(key, bins, weights, n_samples, det=False):
+    """Inverse-CDF hierarchical sampling (``renderer_dynamic.py:8-52``).
+
+    bins: [B, T] z values; weights: [B, T-1]; returns [B, n_samples].
+    """
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, -1, keepdims=True)
+    cdf = jnp.cumsum(pdf, -1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], -1)  # [B, T]
+    if det:
+        u = jnp.linspace(0.5 / n_samples, 1.0 - 0.5 / n_samples, n_samples)
+        u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
+    else:
+        u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,))
+    inds = jax.vmap(partial(jnp.searchsorted, side="right"))(cdf, u)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+    bin_b = jnp.take_along_axis(bins, below, axis=-1)
+    bin_a = jnp.take_along_axis(bins, above, axis=-1)
+    denom = jnp.where(cdf_a - cdf_b < 1e-5, 1.0, cdf_a - cdf_b)
+    t = (u - cdf_b) / denom
+    return bin_b + t * (bin_a - bin_b)
+
+
+@dataclass(frozen=True)
+class RendererSpec:
+    """Static rendering configuration (``renderer_dynamic.py:67-97``)."""
+    field: NVSFFieldSpec
+    bound: float = 1.0
+    density_scale: float = 1.0
+    min_near: float = 0.01
+    min_near_lidar: float = 0.01
+    lidar_max_depth: float = 0.81
+    active_sensor: bool = False
+    num_steps: int = 768
+    upsample_steps: int = 0        # >0 enables importance re-sampling
+    max_ray_batch: int = 4096
+    compute_dtype: str = "float32"
+
+    @property
+    def aabb(self):
+        b = self.bound
+        return jnp.asarray([-b, -b, -b, b, b, b], jnp.float32)
+
+    @property
+    def _cdtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+    # ------------------------------------------------------------------
+    def run(self, params, rays_o, rays_d, time, *, cal_lidar_color=False,
+            perturb=False, key=None, bg_color=None):
+        """Render a flat batch of rays (``renderer_dynamic.py:109-265``).
+
+        rays_o, rays_d: [N, 3]; time: scalar in [0, 1].
+        Returns the reference's output dict (keys suffixed ``_lidar`` for the
+        LiDAR branch).
+        """
+        N = rays_o.shape[0]
+        T = self.num_steps
+        aabb = self.aabb
+
+        if cal_lidar_color:
+            nears = jnp.full((N, 1), self.min_near_lidar, jnp.float32)
+            fars = jnp.full((N, 1), self.lidar_max_depth, jnp.float32)
+        else:
+            nears, fars = near_far_from_aabb(rays_o, rays_d, aabb,
+                                             self.min_near)
+            nears, fars = nears[:, None], fars[:, None]
+
+        z = jnp.linspace(0.0, 1.0, T, dtype=jnp.float32)[None, :]
+        z_vals = nears + (fars - nears) * z                      # [N, T]
+        sample_dist = (fars - nears) / T                          # [N, 1]
+
+        if perturb:
+            assert key is not None, "perturb=True requires a PRNG key"
+            key, kz = jax.random.split(key)
+            z_vals = z_vals + (jax.random.uniform(kz, z_vals.shape) - 0.5) \
+                * sample_dist
+
+        if self.upsample_steps > 0:
+            z_vals = self._importance_resample(
+                params, rays_o, rays_d, time, z_vals, sample_dist,
+                cal_lidar_color, key)
+            T = z_vals.shape[-1]
+
+        xyzs = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+        xyzs = jnp.clip(xyzs, aabb[:3], aabb[3:])
+
+        dout = self.field.density(params, xyzs.reshape(-1, 3), time,
+                                  cal_lidar_color=cal_lidar_color,
+                                  compute_dtype=self._cdtype)
+        sigmas = dout["sigma"].reshape(N, T)
+        geo_feat = dout["geo_feat"]
+
+        deltas = z_vals[..., 1:] - z_vals[..., :-1]
+        deltas = jnp.concatenate(
+            [deltas, jnp.broadcast_to(sample_dist, (N, 1))], axis=-1)
+
+        # LiDAR is an active sensor: light traverses the medium twice
+        # (``renderer_dynamic.py:185-189``)
+        exponent = 2.0 if self.active_sensor else 1.0
+        alphas = 1.0 - jnp.exp(-exponent * deltas * self.density_scale * sigmas)
+        trans = jnp.cumprod(
+            jnp.concatenate([jnp.ones((N, 1)), 1.0 - alphas + 1e-15], -1),
+            axis=-1)[:, :-1]
+        weights = alphas * trans                                  # [N, T]
+
+        dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
+        mask = (weights > 1e-4).reshape(-1)
+        rgbs = self.field.color(params, xyzs.reshape(-1, 3),
+                                dirs.reshape(-1, 3), geo_feat,
+                                cal_lidar_color=cal_lidar_color, mask=mask,
+                                compute_dtype=self._cdtype)
+        out_dim = rgbs.shape[-1]
+        rgbs = rgbs.reshape(N, T, out_dim)
+
+        weights_sum = weights.sum(axis=-1)
+        depth = jnp.sum(weights * z_vals, axis=-1)
+        image = jnp.sum(weights[..., None] * rgbs, axis=-2)
+
+        if not cal_lidar_color:
+            if bg_color is None:
+                bg_color = 1.0
+            image = image + (1.0 - weights_sum)[..., None] * bg_color
+
+        if cal_lidar_color:
+            return {"depth_lidar": depth, "image_lidar": image,
+                    "weights_sum_lidar": weights_sum,
+                    "weights": weights, "z_vals": z_vals}
+        return {"depth": depth, "image": image, "weights_sum": weights_sum,
+                "weights": weights, "z_vals": z_vals}
+
+    # ------------------------------------------------------------------
+    def _importance_resample(self, params, rays_o, rays_d, time, z_vals,
+                             sample_dist, cal_lidar_color, key):
+        """Coarse pass -> CDF resample -> merged sorted z values."""
+        N, T = z_vals.shape
+        xyzs = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+        xyzs = jnp.clip(xyzs, self.aabb[:3], self.aabb[3:])
+        dout = self.field.density(params, xyzs.reshape(-1, 3), time,
+                                  cal_lidar_color=cal_lidar_color,
+                                  compute_dtype=self._cdtype)
+        sigmas = jax.lax.stop_gradient(dout["sigma"]).reshape(N, T)
+        deltas = z_vals[..., 1:] - z_vals[..., :-1]
+        deltas = jnp.concatenate(
+            [deltas, jnp.broadcast_to(sample_dist, (N, 1))], axis=-1)
+        alphas = 1.0 - jnp.exp(-deltas * self.density_scale * sigmas)
+        trans = jnp.cumprod(
+            jnp.concatenate([jnp.ones((N, 1)), 1.0 - alphas + 1e-15], -1),
+            axis=-1)[:, :-1]
+        weights = alphas * trans
+        kz = key if key is not None else jax.random.PRNGKey(0)
+        new_z = sample_pdf(kz, z_vals, weights[:, :-1], self.upsample_steps,
+                           det=key is None)
+        new_z = jax.lax.stop_gradient(new_z)
+        return jnp.sort(jnp.concatenate([z_vals, new_z], axis=-1), axis=-1)
+
+    # ------------------------------------------------------------------
+    def render(self, params, rays_o, rays_d, time, *, cal_lidar_color=False,
+               staged=False, perturb=False, key=None, bg_color=None):
+        """Flat [N, 3] ray batch -> outputs; staged mode chunks rays through
+        ``lax.map`` with padding (``renderer_dynamic.py:286-316``)."""
+        if not staged:
+            return self.run(params, rays_o, rays_d, time,
+                            cal_lidar_color=cal_lidar_color, perturb=perturb,
+                            key=key, bg_color=bg_color)
+
+        N = rays_o.shape[0]
+        C = min(self.max_ray_batch, N)
+        n_chunks = -(-N // C)
+        pad = n_chunks * C - N
+        ro = jnp.pad(rays_o, ((0, pad), (0, 0))).reshape(n_chunks, C, 3)
+        rd = jnp.pad(rays_d, ((0, pad), (0, 0)), constant_values=1.0) \
+            .reshape(n_chunks, C, 3)
+
+        def chunk_fn(args):
+            o, d = args
+            r = self.run(params, o, d, time,
+                         cal_lidar_color=cal_lidar_color, perturb=False,
+                         bg_color=bg_color)
+            if cal_lidar_color:
+                return r["depth_lidar"], r["image_lidar"]
+            return r["depth"], r["image"]
+
+        depth, image = jax.lax.map(chunk_fn, (ro, rd))
+        depth = depth.reshape(-1)[:N]
+        image = image.reshape(-1, image.shape[-1])[:N]
+        if cal_lidar_color:
+            return {"depth_lidar": depth, "image_lidar": image}
+        return {"depth": depth, "image": image}
