@@ -1,0 +1,517 @@
+"""Trainer: jitted train step (on-device ray sampling + rendering + losses +
+error-map EMA), per-epoch EMA, eval, checkpointing.
+
+Rebuilds ``nvsf/nerf/trainer.py`` TPU-first:
+  - the whole step — pixel sampling (random / error-map / patch), GT gather,
+    rendering, all losses, Adam update, error-map scatter — is ONE jitted
+    function per sampling mode; the reference does sampling host-side in the
+    DataLoader and round-trips losses to CPU every step
+    (``trainer.py:552-630``).
+  - optimizer: Adam(0.9, 0.99, eps=1e-15) with per-module LR groups (flow /
+    intensity / raydrop at 0.1x — ``network_dynamic.py:335-357``) and the
+    LambdaLR decay ``0.1 ** (step / iters)`` (``main_nvsf.py:360-362``),
+    plus ``optax.zero_nans`` as the analogue of the reference's NaN scrub.
+  - EMA(decay=0.95) updated once per epoch (``trainer.py:1420-1421``).
+  - patch/random epoch alternation every ``change_patch_size_epoch`` epochs,
+    error-map sampling only on patch epochs (``trainer.py:1054-1069``).
+"""
+
+from __future__ import annotations
+
+import os
+import time as _time
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nvsf_tpu.config import NVSFConfig
+from nvsf_tpu.data import sampler
+from nvsf_tpu.data.dataset import SceneData
+from nvsf_tpu.lib import convert
+from nvsf_tpu.lib import pointcloud as pclib
+from nvsf_tpu.lib import rays as raylib
+from nvsf_tpu.models.field import NVSFFieldSpec
+from nvsf_tpu.render.renderer import RendererSpec
+from nvsf_tpu.train import checkpoint as ckpt
+from nvsf_tpu.train import losses as L
+
+
+def field_spec_from_config(cfg: NVSFConfig) -> NVSFFieldSpec:
+    return NVSFFieldSpec(
+        min_resolution=cfg.min_resolution,
+        base_resolution=cfg.base_resolution,
+        max_resolution=cfg.max_resolution,
+        time_resolution=cfg.time_resolution,
+        n_levels_plane=cfg.n_levels_plane,
+        n_features_per_level_plane=cfg.n_features_per_level_plane,
+        n_levels_hash=cfg.n_levels_hash,
+        n_features_per_level_hash=cfg.n_features_per_level_hash,
+        log2_hashmap_size=cfg.log2_hashmap_size,
+        num_layers_flow=cfg.num_layers_flow,
+        hidden_dim_flow=cfg.hidden_dim_flow,
+        flow_n_levels=cfg.flow_n_levels,
+        flow_n_features_per_level=cfg.flow_n_features_per_level,
+        flow_base_resolution=cfg.flow_base_resolution,
+        flow_max_resolution=cfg.flow_max_resolution,
+        flow_log2_hashmap_size=cfg.flow_log2_hashmap_size,
+        num_layers_sigma=cfg.num_layers_sigma,
+        hidden_dim_sigma=cfg.hidden_dim_sigma,
+        geo_feat_dim=cfg.geo_feat_dim,
+        num_layers_lidar=cfg.num_layers_color,
+        hidden_dim_lidar=cfg.hidden_dim_lidar,
+        num_layers_color=cfg.num_layers_color,
+        num_frames=cfg.num_frames,
+        bound=cfg.bound)
+
+
+def renderer_spec_from_config(cfg: NVSFConfig,
+                              field: NVSFFieldSpec) -> RendererSpec:
+    return RendererSpec(
+        field=field, bound=cfg.bound, density_scale=cfg.density_scale,
+        min_near=cfg.min_near, min_near_lidar=cfg.min_near_lidar,
+        lidar_max_depth=cfg.lidar_max_depth,
+        active_sensor=cfg.active_sensor, num_steps=cfg.num_steps,
+        max_ray_batch=cfg.max_ray_batch,
+        compute_dtype="bfloat16" if cfg.fp16 else cfg.compute_dtype)
+
+
+def make_optimizer(cfg: NVSFConfig, field: NVSFFieldSpec, params):
+    """Adam + per-module LR groups + 0.1^(t/T) decay + NaN zeroing."""
+    labels = field.lr_labels(params)
+    slow_mask = jax.tree.map(lambda lbl: lbl == "slow", labels)
+
+    def sched(step):
+        return cfg.lr * 0.1 ** jnp.minimum(step / max(cfg.iters, 1), 1.0)
+
+    return optax.chain(
+        optax.zero_nans(),
+        optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15),
+        optax.masked(optax.scale(0.1), slow_mask),
+        optax.scale_by_schedule(lambda s: -sched(s)),
+    )
+
+
+@dataclass
+class EpochStats:
+    loss: float
+    parts: Dict[str, float]
+
+
+class Trainer:
+    """Host-side orchestration around the jitted step functions."""
+
+    def __init__(self, cfg: NVSFConfig, scene: SceneData,
+                 workspace: Optional[str] = None, name: Optional[str] = None,
+                 seed: int = 0):
+        self.cfg = cfg
+        self.scene = scene
+        self.name = name or cfg.name
+        self.workspace = workspace or cfg.workspace
+        os.makedirs(self.workspace, exist_ok=True)
+
+        self.field = field_spec_from_config(cfg)
+        self.rend = renderer_spec_from_config(cfg, self.field)
+
+        # ---------------- device-resident frame data ----------------
+        d = {}
+        d["times"] = jnp.asarray(scene.times)
+        if cfg.enable_lidar:
+            d["poses_lidar"] = jnp.asarray(scene.poses_lidar)
+            d["panos"] = jnp.asarray(scene.images_lidar)          # [F,Hl,Wl,3]
+            d["panos_flat"] = d["panos"].reshape(len(scene), -1, 3)
+        if cfg.enable_rgb:
+            d["poses"] = jnp.asarray(scene.poses)
+            d["images_flat"] = jnp.asarray(
+                scene.images.reshape(len(scene), -1, scene.images.shape[-1]))
+            if scene.image_depths is not None:
+                d["image_depths_flat"] = jnp.asarray(
+                    scene.image_depths.reshape(len(scene), -1))
+            d["intrinsics"] = jnp.asarray(scene.intrinsics, jnp.float32)
+        self.data = d
+
+        # flow-loss point clouds (padded; ``trainer.py:1848-1912``)
+        self.pc_data = None
+        if cfg.flow_loss and cfg.enable_lidar:
+            self.pc_data = self._process_pointclouds()
+
+        # ---------------- train state ----------------
+        key = jax.random.PRNGKey(seed)
+        key, kp = jax.random.split(key)
+        params = self.field.init(kp)
+        self.tx = make_optimizer(cfg, self.field, params)
+        Hl, Wl = scene.H_lidar, scene.W_lidar
+        state = {
+            "params": params,
+            "opt_state": self.tx.init(params),
+            # fresh buffers (donation would otherwise alias params)
+            "ema_params": jax.tree.map(lambda x: x + 0, params),
+            "key": key,
+            "step": jnp.zeros((), jnp.int32),
+        }
+        if cfg.enable_lidar:
+            # coarse error map at half pano res (``base_dataset.py:245``),
+            # one per loaded frame (indexed by dataset row)
+            state["error_map"] = jnp.ones(
+                (len(scene), Hl // 2, Wl // 2), jnp.float32)
+        if cfg.enable_rgb:
+            # quarter image res (``base_dataset.py:246``)
+            state["error_map_rgb"] = jnp.ones(
+                (len(scene), scene.H // 4, scene.W // 4), jnp.float32)
+        self.state = state
+        self.epoch = 0
+        self.global_step = 0
+        self.stats = {"results": [], "best_result": None}
+
+        # jitted step per sampling mode
+        self._step_random = jax.jit(self._make_train_step(patch=False),
+                                    donate_argnums=(0,))
+        patch = tuple(cfg.change_patch_size_lidar)
+        self._step_patch = (
+            jax.jit(self._make_train_step(patch=True), donate_argnums=(0,))
+            if patch and patch[0] > 1 else None)
+        self._update_ema = jax.jit(
+            lambda ema, p: jax.tree.map(
+                lambda e, q: cfg.ema_decay * e + (1 - cfg.ema_decay) * q,
+                ema, p))
+        self._eval_lidar = jax.jit(self._render_frame_lidar)
+        self._eval_camera = jax.jit(self._render_frame_camera)
+
+    # ------------------------------------------------------------------
+    def _process_pointclouds(self):
+        """pano -> lidar -> ground removal -> scaled world clouds, padded to
+        fixed shape per global frame index (``trainer.py:1848-1912``)."""
+        cfg, scene = self.cfg, self.scene
+        F = scene.num_frames
+        clouds = [np.zeros((0, 3), np.float32)] * F
+        valid = np.zeros(F, bool)
+        for i in range(len(scene)):
+            pano = scene.images_lidar[i]
+            gt_depth = pano[:, :, 2] * pano[:, :, 0] / cfg.scale
+            pts = convert.pano_to_lidar(gt_depth, scene.intrinsics_lidar,
+                                        scene.intrinsics_hoz_lidar)
+            points, _ground = pclib.point_removal(
+                pts, dist_min=1.0,
+                dist_max=0.75 * cfg.lidar_max_depth / cfg.scale,
+                z_limit=[-2.5, 4])
+            pose = scene.poses_lidar[i]
+            pw = points * cfg.scale
+            pw = (pose @ np.hstack(
+                [pw, np.ones((len(pw), 1), np.float32)]).T).T[:, :3]
+            gfi = int(round(float(scene.times[i]) * (cfg.num_frames - 1)))
+            clouds[gfi] = pw.astype(np.float32)
+            valid[gfi] = True
+        arr, mask = pclib.pad_pointclouds(clouds)
+        return {"pc": jnp.asarray(arr), "pc_mask": jnp.asarray(mask),
+                "pc_valid": jnp.asarray(valid)}
+
+    # ------------------------------------------------------------------
+    def _make_train_step(self, patch: bool):
+        cfg = self.cfg
+        scene = self.scene
+        rend = self.rend
+        field = self.field
+        data = self.data
+        pc_data = self.pc_data
+        Hl, Wl = scene.H_lidar, scene.W_lidar
+        H, W = scene.H, scene.W
+        patch_hw = tuple(cfg.change_patch_size_lidar) if patch else (1, 1)
+        use_error_map = cfg.use_error_map and patch
+        criterion = {
+            "rgb": L.make_criterion(cfg.rgb_loss, cfg.scale),
+            "depth": L.make_criterion(cfg.depth_loss, cfg.scale),
+            "rgb_depth": L.make_criterion(cfg.rgb_depth_loss, cfg.scale),
+            "raydrop": L.make_criterion(cfg.raydrop_loss, cfg.scale),
+            "intensity": L.make_criterion(cfg.intensity_loss, cfg.scale),
+            "grad": L.make_criterion(cfg.depth_grad_loss, cfg.scale),
+        }
+        sr_flags = {
+            "grad_norm_smooth": cfg.grad_norm_smooth,
+            "spatial_smooth": cfg.spatial_smooth,
+            "tv_loss": cfg.tv_loss,
+            "grad_loss": cfg.grad_loss,
+            "sobel_grad": cfg.sobel_grad,
+            "depth_grad_loss_is_cos": cfg.depth_grad_loss == "cos",
+            "alpha_grad_norm": cfg.alpha_grad_norm,
+            "alpha_spatial": cfg.alpha_spatial,
+            "alpha_tv": cfg.alpha_tv,
+            "alpha_grad": cfg.alpha_grad,
+        }
+
+        def step_fn(state, fi):
+            key = state["key"]
+            key, k_li, k_ci, k_pl, k_pc, k_bg = jax.random.split(key, 6)
+            t = data["times"][fi]
+            parts = {}
+
+            def loss_fn(params):
+                total = 0.0
+                aux = {}
+                # ------------------- LiDAR branch -------------------
+                if cfg.enable_lidar:
+                    em = (state["error_map"][fi] if use_error_map else None)
+                    inds = sampler.sample_indices(
+                        k_li, Hl, Wl, cfg.num_rays_lidar,
+                        patch_size=patch_hw if patch else 1,
+                        error_map=em, use_error_map=use_error_map)
+                    pose = data["poses_lidar"][fi]
+                    ro, rd = raylib.get_lidar_rays(
+                        pose, inds, Hl, Wl, scene.intrinsics_lidar,
+                        scene.intrinsics_hoz_lidar)
+                    gt = data["panos_flat"][fi][inds]        # [N, 3]
+                    gt_raydrop = gt[:, 0]
+                    gt_intensity = gt[:, 1] * gt_raydrop
+                    gt_depth = gt[:, 2] * gt_raydrop
+
+                    out = rend.run(params, ro, rd, t, cal_lidar_color=True,
+                                   perturb=True, key=k_pl)
+                    pred_raydrop = out["image_lidar"][:, 0]
+                    pred_intensity = out["image_lidar"][:, 1] * gt_raydrop
+                    pred_depth = out["depth_lidar"] * gt_raydrop
+                    if cfg.raydrop_loss == "bce":
+                        pred_raydrop = jax.nn.sigmoid(pred_raydrop)
+
+                    lidar_loss, lparts = L.lidar_losses(
+                        pred_raydrop, pred_intensity, pred_depth,
+                        gt_raydrop, gt_intensity, gt_depth, criterion,
+                        cfg.alpha_d, cfg.alpha_i, cfg.alpha_r,
+                        cfg.smooth_factor)
+                    aux.update(lparts)
+                    total = total + lidar_loss.sum()
+
+                    cd = L.lidar_chamfer_loss(rd, pred_depth, gt_depth,
+                                              cfg.scale)
+                    aux["chamfer"] = cd
+                    total = total + cd
+
+                    if cfg.flow_loss and pc_data is not None:
+                        gfi = jnp.round(t * (cfg.num_frames - 1)) \
+                            .astype(jnp.int32)
+                        pc = pc_data["pc"][gfi]
+                        pcm = pc_data["pc_mask"][gfi]
+                        fl = field.flow(params, pc, t)
+                        fl_loss = 0.0
+                        nxt = jnp.minimum(gfi + 1, cfg.num_frames - 1)
+                        prv = jnp.maximum(gfi - 1, 0)
+                        has_next = (gfi < cfg.num_frames - 1) \
+                            & pc_data["pc_valid"][nxt]
+                        has_prev = (gfi > 0) & pc_data["pc_valid"][prv]
+                        fwd = L.flow_consistency_loss(
+                            pc, pcm, pc_data["pc"][nxt],
+                            pc_data["pc_mask"][nxt], fl["flow_forward"])
+                        bwd = L.flow_consistency_loss(
+                            pc, pcm, pc_data["pc"][prv],
+                            pc_data["pc_mask"][prv], fl["flow_backward"])
+                        fl_loss = jnp.where(has_next, fwd, 0.0) \
+                            + jnp.where(has_prev, bwd, 0.0)
+                        aux["flow"] = fl_loss
+                        total = total + fl_loss
+
+                    if cfg.use_urf_loss:
+                        urf = L.urf_line_of_sight_loss(
+                            out["weights"], out["z_vals"], gt_depth,
+                            state["step"], cfg.iters)
+                        aux["urf"] = urf
+                        total = total + urf
+
+                    if patch and (cfg.grad_norm_smooth or cfg.spatial_smooth
+                                  or cfg.tv_loss or cfg.grad_loss):
+                        ph, pw = patch_hw
+                        npatch = cfg.num_rays_lidar // (ph * pw)
+                        pd = (out["depth_lidar"] / cfg.scale) \
+                            .reshape(npatch, ph, pw)
+                        gd = (gt[:, 2] / cfg.scale).reshape(npatch, ph, pw)
+                        grd = gt_raydrop.reshape(npatch, ph, pw)
+                        pano_depth = data["panos"][fi][:, :, 2]
+                        gxx, gyy = L.pano_double_gradients(pano_depth,
+                                                           cfg.scale)
+                        flat_xx = gxx.reshape(-1)[inds].reshape(npatch, ph, pw)
+                        flat_yy = gyy.reshape(-1)[inds].reshape(npatch, ph, pw)
+                        gmx = (jnp.abs(flat_xx) < 0.05).astype(jnp.float32)
+                        gmy = (jnp.abs(flat_yy) < 0.05).astype(jnp.float32)
+                        sr = L.structural_regularizers(
+                            pd, gd, grd, gmx, gmy, criterion["grad"],
+                            sr_flags)
+                        aux["loss_sr"] = sr
+                        total = total + sr
+
+                    aux["per_ray_lidar"] = jax.lax.stop_gradient(lidar_loss)
+                    aux["inds_lidar"] = inds
+
+                # ------------------- camera branch -------------------
+                if cfg.enable_rgb:
+                    em = (state["error_map_rgb"][fi] if use_error_map
+                          else None)
+                    inds_c = sampler.sample_indices(
+                        k_ci, H, W, cfg.num_rays,
+                        patch_size=cfg.patch_size,
+                        error_map=em, use_error_map=use_error_map)
+                    pose_c = data["poses"][fi]
+                    ro_c, rd_c = raylib.get_camera_rays(
+                        pose_c, inds_c, H, W, data["intrinsics"])
+                    gt_rgb = data["images_flat"][fi][inds_c]
+                    Cch = gt_rgb.shape[-1]
+                    if Cch == 4:
+                        bg = jax.random.uniform(k_bg, (cfg.num_rays, 3))
+                        gt_rgb = gt_rgb[..., :3] * gt_rgb[..., 3:] \
+                            + bg * (1 - gt_rgb[..., 3:])
+                    else:
+                        bg = 1.0
+                    out_c = rend.run(params, ro_c, rd_c, t,
+                                     cal_lidar_color=False, perturb=True,
+                                     key=k_pc, bg_color=bg)
+                    rgb_l = cfg.alpha_rgb * criterion["rgb"](out_c["image"],
+                                                             gt_rgb[..., :3])
+                    aux["rgb"] = rgb_l.sum()
+                    total = total + rgb_l.sum()
+                    if cfg.use_rgbd_loss and "image_depths_flat" in data:
+                        gt_d = data["image_depths_flat"][fi][inds_c] \
+                            * cfg.scale
+                        max_d = 80 * cfg.scale
+                        gt_d = jnp.minimum(gt_d, max_d)
+                        pd_c = jnp.minimum(out_c["depth"], max_d)
+                        m = (gt_d > 0).astype(jnp.float32)
+                        rd_l = cfg.alpha_rd * criterion["rgb_depth"](
+                            pd_c * m, gt_d * m)
+                        aux["rgb_d"] = rd_l.sum()
+                        total = total + rd_l.sum()
+                    aux["per_ray_rgb"] = jax.lax.stop_gradient(
+                        rgb_l.sum(-1) if rgb_l.ndim > 1 else rgb_l)
+                    aux["inds_rgb"] = inds_c
+
+                total = L.scrub_loss(total)
+                return total, aux
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["params"])
+            updates, opt_state = self.tx.update(grads, state["opt_state"],
+                                                state["params"])
+            params = optax.apply_updates(state["params"], updates)
+
+            new_state = dict(state)
+            new_state.update(params=params, opt_state=opt_state, key=key,
+                             step=state["step"] + 1)
+            if cfg.enable_lidar:
+                new_state["error_map"] = state["error_map"].at[fi].set(
+                    sampler.update_error_map(
+                        state["error_map"][fi], aux.pop("inds_lidar"),
+                        aux.pop("per_ray_lidar"), Hl, Wl))
+            if cfg.enable_rgb:
+                new_state["error_map_rgb"] = state["error_map_rgb"] \
+                    .at[fi].set(sampler.update_error_map(
+                        state["error_map_rgb"][fi], aux.pop("inds_rgb"),
+                        aux.pop("per_ray_rgb"), H, W))
+            metrics = {"loss": loss}
+            metrics.update({k: v for k, v in aux.items()
+                            if jnp.ndim(v) == 0})
+            return new_state, metrics
+
+        return step_fn
+
+    # ------------------------------------------------------------------
+    def _render_frame_lidar(self, params, fi):
+        scene, data = self.scene, self.data
+        Hl, Wl = scene.H_lidar, scene.W_lidar
+        inds = jnp.arange(Hl * Wl, dtype=jnp.int32)
+        ro, rd = raylib.get_lidar_rays(data["poses_lidar"][fi], inds, Hl, Wl,
+                                       scene.intrinsics_lidar,
+                                       scene.intrinsics_hoz_lidar)
+        out = self.rend.render(params, ro, rd, data["times"][fi],
+                               cal_lidar_color=True, staged=True)
+        return {"depth": out["depth_lidar"].reshape(Hl, Wl),
+                "raydrop": out["image_lidar"][:, 0].reshape(Hl, Wl),
+                "intensity": out["image_lidar"][:, 1].reshape(Hl, Wl)}
+
+    def _render_frame_camera(self, params, fi):
+        scene, data = self.scene, self.data
+        H, W = scene.H, scene.W
+        inds = jnp.arange(H * W, dtype=jnp.int32)
+        ro, rd = raylib.get_camera_rays(data["poses"][fi], inds, H, W,
+                                        data["intrinsics"])
+        out = self.rend.render(params, ro, rd, data["times"][fi],
+                               cal_lidar_color=False, staged=True,
+                               bg_color=1.0)
+        return {"rgb": out["image"].reshape(H, W, 3),
+                "depth": out["depth"].reshape(H, W)}
+
+    # ------------------------------------------------------------------
+    def train_one_epoch(self, order=None) -> EpochStats:
+        cfg = self.cfg
+        n = len(self.scene)
+        if order is None:
+            order = np.random.permutation(n)
+        # patch epochs: epoch % change_patch_size_epoch == 0, epochs count
+        # from 1 (``trainer.py:1050-1064``)
+        use_patch = (self._step_patch is not None
+                     and cfg.change_patch_size_lidar[0] > 1
+                     and self.epoch > 0
+                     and self.epoch % cfg.change_patch_size_epoch == 0)
+        step = self._step_patch if use_patch else self._step_random
+        tot, parts = 0.0, {}
+        for fi in order:
+            self.state, metrics = step(self.state, jnp.int32(fi))
+            self.global_step += 1
+            tot += float(metrics["loss"])
+            for k, v in metrics.items():
+                parts[k] = parts.get(k, 0.0) + float(v)
+        self.state["ema_params"] = self._update_ema(
+            self.state["ema_params"], self.state["params"])
+        return EpochStats(loss=tot / n,
+                          parts={k: v / n for k, v in parts.items()})
+
+    def train(self, max_epochs: Optional[int] = None, log_fn=print):
+        cfg = self.cfg
+        max_epochs = max_epochs or cfg.epochs
+        t0 = _time.time()
+        for ep in range(self.epoch + 1, max_epochs + 1):
+            self.epoch = ep
+            stats = self.train_one_epoch()
+            if ep % max(cfg.eval_interval, 1) == 0 or ep == max_epochs:
+                self.save_checkpoint(full=True)
+                log_fn(f"[epoch {ep}] loss={stats.loss:.5f} "
+                       f"({_time.time() - t0:.1f}s) parts="
+                       + " ".join(f"{k}={v:.4f}"
+                                  for k, v in stats.parts.items()
+                                  if k != "loss"))
+        return stats
+
+    # ------------------------------------------------------------------
+    def render_lidar_frame(self, fi, use_ema=False):
+        params = self.state["ema_params"] if use_ema else self.state["params"]
+        return jax.tree.map(np.asarray, self._eval_lidar(params, jnp.int32(fi)))
+
+    def render_camera_frame(self, fi, use_ema=False):
+        params = self.state["ema_params"] if use_ema else self.state["params"]
+        return jax.tree.map(np.asarray,
+                            self._eval_camera(params, jnp.int32(fi)))
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, full=True, best=False, suffix=""):
+        return ckpt.save_checkpoint(
+            self.workspace, self.name, self.epoch, self.global_step,
+            self.state, self.stats, full=full, best=best, suffix=suffix)
+
+    def load_checkpoint(self, which="latest") -> bool:
+        path = ckpt.resolve_checkpoint(self.workspace, self.name, which)
+        if path is None:
+            return False
+        payload = ckpt.load_checkpoint(path)
+        self.state["params"] = jax.tree.map(jnp.asarray, payload["model"])
+        if payload.get("ema") is not None:
+            self.state["ema_params"] = jax.tree.map(jnp.asarray,
+                                                    payload["ema"])
+        for k_src, k_dst in (("opt_state", "opt_state"),
+                             ("error_map", "error_map"),
+                             ("error_map_rgb", "error_map_rgb")):
+            if payload.get(k_src) is not None and k_dst in self.state:
+                self.state[k_dst] = jax.tree.map(jnp.asarray,
+                                                 payload[k_src])
+        self.epoch = payload.get("epoch", 0)
+        self.global_step = payload.get("global_step", 0)
+        self.state["step"] = jnp.asarray(self.global_step, jnp.int32)
+        self.stats = payload.get("stats", self.stats)
+        return True

@@ -1,0 +1,146 @@
+"""End-to-end trainer tests on the analytic synthetic scene: the minimum
+viable slice from SURVEY.md section 7 step 4 — LiDAR(+camera) field trained to
+decreasing loss and improving depth error, plus checkpoint round-trip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nvsf_tpu.config import NVSFConfig
+from nvsf_tpu.data.synthetic import SyntheticSceneSpec, make_synthetic_scene
+from nvsf_tpu.train.trainer import Trainer
+
+SCENE_SPEC = SyntheticSceneSpec(num_frames=6, H_lidar=24, W_lidar=64,
+                                H=32, W=40)
+
+
+def tiny_config(**over):
+    base = dict(
+        enable_lidar=True, enable_rgb=False,
+        num_frames=SCENE_SPEC.num_frames,
+        scale=SCENE_SPEC.scale,
+        bound=1.0,
+        min_near_lidar=0.5 * SCENE_SPEC.scale,
+        lidar_max_depth=SCENE_SPEC.max_depth * SCENE_SPEC.scale,
+        min_near=0.5 * SCENE_SPEC.scale,
+        num_rays_lidar=256, num_rays=256,
+        num_steps=96, max_ray_batch=512,
+        lr=1e-2, iters=200, epochs=4, eval_interval=100,
+        # tiny encoders for CPU speed
+        min_resolution=8, n_levels_plane=2,
+        base_resolution=16, max_resolution=128,
+        time_resolution=4, n_levels_hash=4, log2_hashmap_size=12,
+        workspace="/tmp/nvsf_tpu_test_ws",
+        use_error_map=True,
+        flow_n_levels=4, flow_n_features_per_level=4,
+        flow_base_resolution=8, flow_max_resolution=32,
+        flow_log2_hashmap_size=8,
+        change_patch_size_lidar=[2, 8], change_patch_size_epoch=2,
+        raydrop_loss="mse",
+    )
+    base.update(over)
+    cfg = NVSFConfig.from_dict(base)
+    object.__setattr__ if False else None
+    return cfg
+
+
+def _shrink_flow(cfg_dict):
+    return cfg_dict
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_synthetic_scene(SCENE_SPEC, split="train")
+
+
+def _make_trainer(scene, **over):
+    cfg = tiny_config(**over)
+    tr = Trainer(cfg, scene, workspace="/tmp/nvsf_tpu_test_ws")
+    # shrink the flow grid for CPU tests
+    return tr
+
+
+def test_lidar_training_loss_decreases(scene):
+    # disable patch alternation so every epoch is the same regime
+    tr = _make_trainer(scene, change_patch_size_lidar=[1])
+    np.random.seed(0)
+    losses = []
+    for ep in range(1, 11):
+        tr.epoch = ep
+        losses.append(tr.train_one_epoch(order=np.arange(len(scene))).loss)
+    assert min(losses[-3:]) < 0.5 * losses[0], losses
+
+
+def test_lidar_depth_improves(scene):
+    tr = _make_trainer(scene)
+    gt = scene.images_lidar[0]
+    before = tr.render_lidar_frame(0)
+    err_before = np.abs((before["depth"] - gt[:, :, 2]) * (gt[:, :, 0] > 0)).mean()
+    for ep in range(1, 9):
+        tr.epoch = ep
+        tr.train_one_epoch(order=np.arange(len(scene)))
+    after = tr.render_lidar_frame(0)
+    err_after = np.abs((after["depth"] - gt[:, :, 2]) * (gt[:, :, 0] > 0)).mean()
+    assert err_after < 0.7 * err_before, (err_before, err_after)
+
+
+def test_joint_rgb_lidar_step(scene):
+    tr = _make_trainer(scene, enable_rgb=True, use_rgbd_loss=True)
+    s1 = tr.train_one_epoch(order=np.arange(2))
+    assert np.isfinite(s1.loss)
+    assert "rgb" in s1.parts and "chamfer" in s1.parts
+    out = tr.render_camera_frame(0)
+    assert out["rgb"].shape == (SCENE_SPEC.H, SCENE_SPEC.W, 3)
+
+
+def test_flow_and_urf_losses_run(scene):
+    tr = _make_trainer(scene, flow_loss=True, use_urf_loss=True,
+                       flow_log2_hashmap_size=8)
+    s = tr.train_one_epoch(order=np.arange(2))
+    assert "flow" in s.parts and "urf" in s.parts
+    assert np.isfinite(s.loss)
+
+
+def test_patch_epoch_with_structural_reg(scene):
+    tr = _make_trainer(scene, grad_loss=True, tv_loss=True)
+    tr.epoch = 2  # patch epoch (epoch % change_patch_size_epoch == 0)
+    s = tr.train_one_epoch(order=np.arange(2))
+    assert "loss_sr" in s.parts
+    assert np.isfinite(s.loss)
+
+
+def test_error_map_evolves(scene):
+    tr = _make_trainer(scene)
+    em0 = np.asarray(tr.state["error_map"]).copy()
+    tr.epoch = 2  # error map is updated every step; sampled on patch epochs
+    tr.train_one_epoch(order=np.arange(len(scene)))
+    em1 = np.asarray(tr.state["error_map"])
+    assert not np.allclose(em0, em1)
+    assert (em1 > 0).all()
+
+
+def test_checkpoint_roundtrip(scene, tmp_path):
+    tr = _make_trainer(scene, workspace=str(tmp_path))
+    tr.workspace = str(tmp_path)
+    tr.train_one_epoch(order=np.arange(2))
+    tr.epoch = 1
+    path = tr.save_checkpoint(full=True)
+    ref = tr.render_lidar_frame(0)
+
+    tr2 = _make_trainer(scene, workspace=str(tmp_path))
+    tr2.workspace = str(tmp_path)
+    assert tr2.load_checkpoint("latest")
+    out = tr2.render_lidar_frame(0)
+    np.testing.assert_allclose(out["depth"], ref["depth"], atol=1e-5)
+    # resume training works
+    tr2.train_one_epoch(order=np.arange(2))
+
+
+def test_ema_tracks_params(scene):
+    tr = _make_trainer(scene)
+    tr.train_one_epoch(order=np.arange(2))
+    # sigma_net trains in lidar-only mode (color_net would not)
+    p = tr.state["params"]["sigma_net"][0]["w"]
+    e = tr.state["ema_params"]["sigma_net"][0]["w"]
+    assert not np.allclose(np.asarray(p), np.asarray(e))
