@@ -107,9 +107,10 @@ class Trainer:
 
     def __init__(self, cfg: NVSFConfig, scene: SceneData,
                  workspace: Optional[str] = None, name: Optional[str] = None,
-                 seed: int = 0):
+                 seed: int = 0, mesh=None):
         self.cfg = cfg
         self.scene = scene
+        self.mesh = mesh  # jax.sharding.Mesh for ray-sharded DP (or None)
         self.name = name or cfg.name
         self.workspace = workspace or cfg.workspace
         os.makedirs(self.workspace, exist_ok=True)
@@ -263,6 +264,9 @@ class Trainer:
                         pose, inds, Hl, Wl, scene.intrinsics_lidar,
                         scene.intrinsics_hoz_lidar)
                     gt = data["panos_flat"][fi][inds]        # [N, 3]
+                    if self.mesh is not None:
+                        from nvsf_tpu.parallel.mesh import shard_rays
+                        ro, rd, gt = shard_rays(self.mesh, ro, rd, gt)
                     gt_raydrop = gt[:, 0]
                     gt_intensity = gt[:, 1] * gt_raydrop
                     gt_depth = gt[:, 2] * gt_raydrop
@@ -354,6 +358,10 @@ class Trainer:
                     ro_c, rd_c = raylib.get_camera_rays(
                         pose_c, inds_c, H, W, data["intrinsics"])
                     gt_rgb = data["images_flat"][fi][inds_c]
+                    if self.mesh is not None:
+                        from nvsf_tpu.parallel.mesh import shard_rays
+                        ro_c, rd_c, gt_rgb = shard_rays(self.mesh, ro_c,
+                                                        rd_c, gt_rgb)
                     Cch = gt_rgb.shape[-1]
                     if Cch == 4:
                         bg = jax.random.uniform(k_bg, (cfg.num_rays, 3))
