@@ -1,0 +1,75 @@
+"""Benchmark: training-step throughput (rays/sec/chip) on the flagship model.
+
+Runs the full jitted train step — on-device ray sampling, 768-sample
+volume rendering through the full-size NVSF field (8-level 2^19 hash grids
+x2 branches, 4-scale K-planes, temporal warp), all LiDAR losses including
+chamfer, Adam update, error-map scatter — on a synthetic scene sized like
+KITTI-360 (66x1030 pano, 64 frames), lidar branch, 2048 rays/step, matching
+the reference's default training configuration (``main_nvsf.py:70-72``).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numbers (readme experiments TODO);
+its hardware is a single V100 (``readme.md:141``). We use a fixed reference
+constant of 20_000 train rays/sec estimated for the torch+tcnn stack at 768
+samples/ray on V100 — LiDAR4D-class trainers process ~4k rays in ~0.2s/step.
+Keeping the constant fixed across rounds makes vs_baseline comparable.
+"""
+
+import json
+import time
+
+import numpy as np
+
+V100_BASELINE_RAYS_PER_SEC = 20_000.0
+
+
+def main():
+    import jax
+
+    from nvsf_tpu.config import NVSFConfig
+    from nvsf_tpu.data.synthetic import SyntheticSceneSpec, make_synthetic_scene
+    from nvsf_tpu.train.trainer import Trainer
+
+    spec = SyntheticSceneSpec(num_frames=16, H_lidar=66, W_lidar=1030,
+                              H=94, W=352, max_depth=80.0, scale=1.0 / 81.0)
+    scene = make_synthetic_scene(spec, split="train")
+
+    cfg = NVSFConfig.from_dict(dict(
+        enable_lidar=True, enable_rgb=False,
+        num_frames=spec.num_frames, scale=spec.scale, bound=1.0,
+        min_near_lidar=1.0 * spec.scale,
+        lidar_max_depth=80.0 * spec.scale,
+        min_near=1.0 * spec.scale,
+        active_sensor=True,
+        num_rays_lidar=2048, num_rays=2048,
+        num_steps=768, max_ray_batch=4096,
+        iters=1000, epochs=1, use_error_map=True,
+        fp16=True,
+        workspace="/tmp/nvsf_bench"))
+
+    tr = Trainer(cfg, scene, workspace="/tmp/nvsf_bench")
+
+    # warmup/compile
+    order = np.arange(min(2, len(scene)))
+    tr.train_one_epoch(order=order)
+
+    # timed steps
+    n_steps = 30
+    frames = np.resize(np.arange(len(scene)), n_steps)
+    t0 = time.perf_counter()
+    tr.train_one_epoch(order=frames)
+    jax.block_until_ready(tr.state["params"])
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = cfg.num_rays_lidar * n_steps / dt
+    print(json.dumps({
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / V100_BASELINE_RAYS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
