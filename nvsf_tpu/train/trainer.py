@@ -168,13 +168,22 @@ class Trainer:
         self.global_step = 0
         self.stats = {"results": [], "best_result": None}
 
-        # jitted step per sampling mode
+        # jitted step per sampling mode; the scan variant runs a whole epoch
+        # (a sequence of frame indices) in ONE device dispatch — essential
+        # when host<->device dispatch latency is non-trivial
         self._step_random = jax.jit(self._make_train_step(patch=False),
                                     donate_argnums=(0,))
+        self._scan_random = jax.jit(
+            self._make_epoch_scan(patch=False), donate_argnums=(0,))
         patch = tuple(cfg.change_patch_size_lidar)
-        self._step_patch = (
-            jax.jit(self._make_train_step(patch=True), donate_argnums=(0,))
-            if patch and patch[0] > 1 else None)
+        if patch and patch[0] > 1:
+            self._step_patch = jax.jit(self._make_train_step(patch=True),
+                                       donate_argnums=(0,))
+            self._scan_patch = jax.jit(self._make_epoch_scan(patch=True),
+                                       donate_argnums=(0,))
+        else:
+            self._step_patch = None
+            self._scan_patch = None
         self._update_ema = jax.jit(
             lambda ema, p: jax.tree.map(
                 lambda e, q: cfg.ema_decay * e + (1 - cfg.ema_decay) * q,
@@ -420,6 +429,14 @@ class Trainer:
 
         return step_fn
 
+    def _make_epoch_scan(self, patch: bool):
+        step_fn = self._make_train_step(patch)
+
+        def epoch_fn(state, order):
+            return jax.lax.scan(lambda s, fi: step_fn(s, fi), state, order)
+
+        return epoch_fn
+
     # ------------------------------------------------------------------
     def _render_frame_lidar(self, params, fi):
         scene, data = self.scene, self.data
@@ -447,29 +464,38 @@ class Trainer:
                 "depth": out["depth"].reshape(H, W)}
 
     # ------------------------------------------------------------------
-    def train_one_epoch(self, order=None) -> EpochStats:
+    def train_one_epoch(self, order=None, use_scan: bool = True) -> EpochStats:
         cfg = self.cfg
         n = len(self.scene)
         if order is None:
             order = np.random.permutation(n)
+        order = np.asarray(order, np.int32)
         # patch epochs: epoch % change_patch_size_epoch == 0, epochs count
         # from 1 (``trainer.py:1050-1064``)
         use_patch = (self._step_patch is not None
                      and cfg.change_patch_size_lidar[0] > 1
                      and self.epoch > 0
                      and self.epoch % cfg.change_patch_size_epoch == 0)
-        step = self._step_patch if use_patch else self._step_random
-        tot, parts = 0.0, {}
-        for fi in order:
-            self.state, metrics = step(self.state, jnp.int32(fi))
-            self.global_step += 1
-            tot += float(metrics["loss"])
-            for k, v in metrics.items():
-                parts[k] = parts.get(k, 0.0) + float(v)
+        if use_scan:
+            scan = self._scan_patch if use_patch else self._scan_random
+            self.state, metrics = scan(self.state, jnp.asarray(order))
+            self.global_step += len(order)
+            parts = {k: float(np.mean(np.asarray(v)))
+                     for k, v in metrics.items()}
+            tot = parts["loss"] * len(order)
+        else:
+            step = self._step_patch if use_patch else self._step_random
+            tot, parts = 0.0, {}
+            for fi in order:
+                self.state, metrics = step(self.state, jnp.int32(fi))
+                self.global_step += 1
+                tot += float(metrics["loss"])
+                for k, v in metrics.items():
+                    parts[k] = parts.get(k, 0.0) + float(v)
+            parts = {k: v / len(order) for k, v in parts.items()}
         self.state["ema_params"] = self._update_ema(
             self.state["ema_params"], self.state["params"])
-        return EpochStats(loss=tot / n,
-                          parts={k: v / n for k, v in parts.items()})
+        return EpochStats(loss=tot / len(order), parts=parts)
 
     def train(self, max_epochs: Optional[int] = None, log_fn=print):
         cfg = self.cfg
