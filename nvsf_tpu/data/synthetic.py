@@ -126,8 +126,20 @@ def make_synthetic_scene(spec: SyntheticSceneSpec = SyntheticSceneSpec(),
            "all": all_frames}[split]
 
     poses_l, panos, poses_c, images, image_depths = [], [], [], [], []
-    times, fids = [], []
+    times, fids, annotations = [], [], []
     for fi in sel:
+        # 3D annotations for dynamic spheres (axis-aligned 8-vertex boxes in
+        # world meters, like KITTI-360's per-frame bboxes)
+        frame_ann = []
+        for (cx, cy, cz, r, _alb, vx, vy) in spec.spheres:
+            if vx != 0.0 or vy != 0.0:
+                c = np.array([cx + vx * fi, cy + vy * fi, cz])
+                corners = np.array(
+                    [[sx, sy, sz] for sx in (-r, r) for sy in (-r, r)
+                     for sz in (-r, r)]) + c
+                frame_ann.append({"vertices": corners,
+                                  "label": "dynamic_sphere"})
+        annotations.append(frame_ann)
         Tl = spec.lidar_pose(fi)
         d_world = dirs_pano @ Tl[:3, :3].T
         o_world = np.broadcast_to(Tl[:3, 3], d_world.shape)
@@ -168,4 +180,5 @@ def make_synthetic_scene(spec: SyntheticSceneSpec = SyntheticSceneSpec(),
         H=H, W=W, intrinsics=K,
         times=np.asarray(times, np.float32),
         frame_ids=np.asarray(fids, np.float32),
-        num_frames=spec.num_frames, split=split)
+        num_frames=spec.num_frames, split=split,
+        annotations=annotations)

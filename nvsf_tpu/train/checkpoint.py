@@ -33,6 +33,8 @@ def save_checkpoint(workspace: str, name: str, epoch: int, global_step: int,
         "stats": stats or {},
         "model": _to_numpy(state["params"]),
         "ema": _to_numpy(state.get("ema_params")),
+        "unet": _to_numpy(state.get("unet_params")),
+        "unet_stats": _to_numpy(state.get("unet_stats")),
     }
     if full:
         payload["opt_state"] = _to_numpy(state.get("opt_state"))

@@ -1,0 +1,179 @@
+"""Evaluation loop: full-frame renders, raydrop thresholding + optional U-Net
+refinement, metric meters in three categories (combined / background /
+foreground via 3D-annotation masks), JSON error matrices and artifact dumps.
+
+Rebuilds ``nvsf/nerf/trainer.py:658-814`` (eval_step) and
+``trainer.py:1458-1846`` (evaluate_one_epoch).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from nvsf_tpu.lib import convert, masks as masklib, metrics as M
+
+
+def build_lidar_meters(cfg) -> Dict:
+    """Meter suite per ``main_nvsf.py:224-232``."""
+    return {
+        "point": M.PointsMeter(scale=cfg.scale,
+                               intrinsics=cfg.intrinsics_lidar,
+                               intrinsics_hoz=cfg.intrinsics_hoz_lidar),
+        "depth": M.DepthMeter_L4D(scale=cfg.scale),
+        "intensity": M.IntensityMeter_L4D(scale=cfg.intensity_inv_scale),
+        "raydrop": M.RaydropMeter(ratio=cfg.raydrop_ratio),
+    }
+
+
+def build_camera_meters(cfg) -> Dict:
+    """Meter suite per ``main_nvsf.py:234-240``."""
+    return {
+        "rmse": M.RMSEMeter(rgb_metric=True),
+        "psnr": M.PSNRMeter(),
+        "lpips": M.LPIPSMeter(),
+        "ssim": M.SSIMMeter(),
+    }
+
+
+def _save_pano_png(path, arr, vmax=None):
+    import imageio.v2 as imageio
+    a = np.asarray(arr, np.float32)
+    vmax = vmax or max(float(a.max()), 1e-8)
+    imageio.imwrite(path, (np.clip(a / vmax, 0, 1) * 255).astype(np.uint8))
+
+
+def evaluate(trainer, scene, *, use_refine: bool = False, use_ema: bool = True,
+             name: str = "eval", save_dir: Optional[str] = None,
+             write_outputs: bool = False, log_fn=print) -> Dict[str, dict]:
+    """Run the full eval over ``scene``; returns {category: {metric: value}}.
+
+    Categories: 'combined' always; 'background'/'foreground' when the scene
+    carries 3D annotations (``trainer.py:1538-1626``).
+    """
+    cfg = trainer.cfg
+    has_ann = bool(scene.annotations)
+    cats = ["combined"] + (["background", "foreground"] if has_ann else [])
+
+    lidar_meters = {c: build_lidar_meters(cfg) for c in cats} \
+        if cfg.enable_lidar else {}
+    cam_meters = {c: build_camera_meters(cfg) for c in cats} \
+        if cfg.enable_rgb else {}
+
+    for fi in range(len(scene)):
+        ann = scene.annotations[fi] if has_ann else []
+        # ---------------- LiDAR ----------------
+        if cfg.enable_lidar and scene.images_lidar is not None:
+            pred = trainer.render_pano(
+                scene.poses_lidar[fi], float(scene.times[fi]),
+                scene.H_lidar, scene.W_lidar, scene.intrinsics_lidar,
+                scene.intrinsics_hoz_lidar, use_ema=use_ema)
+            pred_raydrop = pred["raydrop"]
+            if cfg.raydrop_loss == "bce":
+                pred_raydrop = 1.0 / (1.0 + np.exp(-pred_raydrop))
+            if use_refine and trainer.has_unet:
+                pred_raydrop = trainer.refine_raydrop_pano(
+                    pred_raydrop, pred["intensity"], pred["depth"])
+            rd_mask = (pred_raydrop > cfg.raydrop_thres).astype(np.float32)
+            pred_int = pred["intensity"] * rd_mask
+            pred_depth = pred["depth"] * rd_mask
+
+            gt = scene.images_lidar[fi]
+            gt_raydrop = gt[:, :, 0]
+            gt_int = gt[:, :, 1] * gt_raydrop
+            gt_depth = gt[:, :, 2] * gt_raydrop
+
+            cat_masks = {"combined": np.ones_like(gt_raydrop)}
+            if has_ann:
+                static_m, dyn_m = masklib.compute_object_masks_pano(
+                    pred_depth, scene.poses_lidar[fi], ann,
+                    scale=cfg.scale, offset=cfg.offset,
+                    intrinsics_lidar=scene.intrinsics_lidar,
+                    intrinsics_hoz_lidar=scene.intrinsics_hoz_lidar,
+                    max_depth=cfg.lidar_max_depth / cfg.scale)
+                cat_masks["background"] = static_m
+                cat_masks["foreground"] = dyn_m
+            for cat, m in cat_masks.items():
+                mm = lidar_meters[cat]
+                mm["point"].update(pred_depth * m, gt_depth * m)
+                mm["depth"].update((pred_depth * m)[None],
+                                   (gt_depth * m)[None])
+                mm["intensity"].update((pred_int * m)[None],
+                                       (gt_int * m)[None])
+                mm["raydrop"].update(pred_raydrop * m, gt_raydrop * m)
+
+            if write_outputs and save_dir:
+                os.makedirs(save_dir, exist_ok=True)
+                _save_pano_png(os.path.join(
+                    save_dir, f"{name}_{fi:04d}_depth.png"), pred_depth)
+                _save_pano_png(os.path.join(
+                    save_dir, f"{name}_{fi:04d}_intensity.png"), pred_int,
+                    vmax=1.0)
+                pts = convert.pano_to_lidar_with_intensities(
+                    pred_depth / cfg.scale, pred_int,
+                    scene.intrinsics_lidar, scene.intrinsics_hoz_lidar)
+                np.savetxt(os.path.join(
+                    save_dir, f"{name}_{fi:04d}_pcd_lidar.txt"), pts,
+                    fmt="%.6f")
+
+        # ---------------- camera ----------------
+        if cfg.enable_rgb and scene.images is not None:
+            out = trainer.render_view(
+                scene.poses[fi], float(scene.times[fi]), scene.H, scene.W,
+                scene.intrinsics, use_ema=use_ema)
+            pred_rgb = out["rgb"]
+            gt_rgb = scene.images[fi][..., :3]
+            cat_masks = {"combined": np.ones(gt_rgb.shape[:2])}
+            if has_ann:
+                st, dy = masklib.compute_object_masks_image(
+                    scene.poses[fi], scene.intrinsics, ann, scene.H, scene.W,
+                    scale=cfg.scale, offset=cfg.offset)
+                cat_masks["background"] = st.astype(np.float32)
+                cat_masks["foreground"] = dy.astype(np.float32)
+            for cat, m in cat_masks.items():
+                mm = cam_meters[cat]
+                pm = pred_rgb * m[..., None]
+                gm = gt_rgb * m[..., None]
+                mm["psnr"].update(pm, gm)
+                mm["ssim"].update(pm[None], gm[None])
+                mm["lpips"].update(pm, gm)
+                if scene.image_depths is not None:
+                    mm["rmse"].update(out["depth"][..., None] / cfg.scale,
+                                      scene.image_depths[fi])
+            if write_outputs and save_dir:
+                import imageio.v2 as imageio
+                imageio.imwrite(
+                    os.path.join(save_dir, f"{name}_{fi:04d}_rgb.png"),
+                    (np.clip(pred_rgb, 0, 1) * 255).astype(np.uint8))
+
+    # ---------------- reports ----------------
+    results = {}
+    for cat in cats:
+        r = {}
+        if cfg.enable_lidar and lidar_meters:
+            for k, meter in lidar_meters[cat].items():
+                v = meter.measure()
+                r[k] = v.tolist() if isinstance(v, np.ndarray) else float(v)
+        if cfg.enable_rgb and cam_meters:
+            for k, meter in cam_meters[cat].items():
+                v = meter.measure()
+                r[f"rgb_{k}"] = v.tolist() if isinstance(v, np.ndarray) \
+                    else float(v)
+        results[cat] = r
+        if save_dir:
+            all_meters = {}
+            if cfg.enable_lidar and lidar_meters:
+                all_meters.update(lidar_meters[cat])
+            if cfg.enable_rgb and cam_meters:
+                all_meters.update(
+                    {f"rgb_{k}": v for k, v in cam_meters[cat].items()})
+            M.write_error_matrix(
+                all_meters,
+                os.path.join(save_dir, f"{name}_error_matrix_{cat}.json"),
+                extra={"epoch": trainer.epoch, "category": cat})
+        if log_fn:
+            log_fn(f"[eval:{cat}] " + " ".join(
+                f"{k}={np.round(v, 4)}" for k, v in r.items()))
+    return results

@@ -190,6 +190,18 @@ class Trainer:
                 ema, p))
         self._eval_lidar = jax.jit(self._render_frame_lidar)
         self._eval_camera = jax.jit(self._render_frame_camera)
+        self._render_cache = {}
+
+        # U-Net ray-drop refiner (``network_dynamic.py:192``); trained only
+        # in the refine stage
+        from nvsf_tpu.models.unet import UNetSpec
+        self.unet_spec = UNetSpec(in_channels=3, channels=32, out_channels=1)
+        key, ku = jax.random.split(self.state["key"])
+        self.state["key"] = key
+        up, us = self.unet_spec.init(ku)
+        self.state["unet_params"] = up
+        self.state["unet_stats"] = us
+        self.unet_trained = False
 
     # ------------------------------------------------------------------
     def _process_pointclouds(self):
@@ -514,6 +526,96 @@ class Trainer:
         return stats
 
     # ------------------------------------------------------------------
+    # generic novel-view renders (arbitrary pose / resolution / intrinsics):
+    # the eval path and the novel-sensor synthesis path
+    # (``base_dataset.py:170-227`` overrides flow through here)
+    # ------------------------------------------------------------------
+    @property
+    def has_unet(self):
+        return self.unet_trained
+
+    def _get_pano_renderer(self, H, W, K_l, K_hoz):
+        key = ("pano", H, W, K_l, K_hoz)
+        if key not in self._render_cache:
+            def fn(params, pose, t):
+                inds = jnp.arange(H * W, dtype=jnp.int32)
+                ro, rd = raylib.get_lidar_rays(pose, inds, H, W, K_l, K_hoz)
+                out = self.rend.render(params, ro, rd, t,
+                                       cal_lidar_color=True, staged=True)
+                return {"depth": out["depth_lidar"].reshape(H, W),
+                        "raydrop": out["image_lidar"][:, 0].reshape(H, W),
+                        "intensity": out["image_lidar"][:, 1].reshape(H, W)}
+            self._render_cache[key] = jax.jit(fn)
+        return self._render_cache[key]
+
+    def _get_view_renderer(self, H, W):
+        key = ("view", H, W)
+        if key not in self._render_cache:
+            def fn(params, pose, K, t):
+                inds = jnp.arange(H * W, dtype=jnp.int32)
+                ro, rd = raylib.get_camera_rays(pose, inds, H, W, K)
+                out = self.rend.render(params, ro, rd, t,
+                                       cal_lidar_color=False, staged=True,
+                                       bg_color=1.0)
+                return {"rgb": out["image"].reshape(H, W, 3),
+                        "depth": out["depth"].reshape(H, W)}
+            self._render_cache[key] = jax.jit(fn)
+        return self._render_cache[key]
+
+    def render_pano(self, pose, t, H, W, intrinsics_lidar,
+                    intrinsics_hoz_lidar, use_ema=False):
+        params = self.state["ema_params"] if use_ema else self.state["params"]
+        fn = self._get_pano_renderer(int(H), int(W),
+                                     tuple(intrinsics_lidar),
+                                     tuple(intrinsics_hoz_lidar))
+        out = fn(params, jnp.asarray(pose), jnp.asarray(t, jnp.float32))
+        return jax.tree.map(np.asarray, out)
+
+    def render_view(self, pose, t, H, W, intrinsics, use_ema=False):
+        params = self.state["ema_params"] if use_ema else self.state["params"]
+        fn = self._get_view_renderer(int(H), int(W))
+        out = fn(params, jnp.asarray(pose),
+                 jnp.asarray(intrinsics, jnp.float32),
+                 jnp.asarray(t, jnp.float32))
+        return jax.tree.map(np.asarray, out)
+
+    # ------------------------------------------------------------------
+    # refine stage (``trainer.py:905-1017``)
+    # ------------------------------------------------------------------
+    def refine(self, steps: int = 1000, lr: float = 1e-3, log_fn=print):
+        """Render all training frames with the (EMA) field, then train the
+        U-Net raydrop refiner on them."""
+        from nvsf_tpu.train.refine import refine_raydrop
+        scene = self.scene
+        inputs, gts = [], []
+        for fi in range(len(scene)):
+            pred = self.render_pano(
+                scene.poses_lidar[fi], float(scene.times[fi]),
+                scene.H_lidar, scene.W_lidar, scene.intrinsics_lidar,
+                scene.intrinsics_hoz_lidar, use_ema=True)
+            inputs.append(np.stack([pred["raydrop"], pred["intensity"],
+                                    pred["depth"]], axis=0))
+            gts.append(scene.images_lidar[fi][:, :, 0][None])
+        x = np.stack(inputs)                    # [F, 3, H, W]
+        y = np.stack(gts)                       # [F, 1, H, W]
+        up, us, losses = refine_raydrop(
+            self.unet_spec, self.state["unet_params"],
+            self.state["unet_stats"], x, y, steps=steps, lr=lr,
+            log_fn=log_fn)
+        self.state["unet_params"] = up
+        self.state["unet_stats"] = us
+        self.unet_trained = True
+        self.save_checkpoint(full=False, suffix="refine")
+        return losses
+
+    def refine_raydrop_pano(self, pred_raydrop, pred_intensity, pred_depth):
+        from nvsf_tpu.train.refine import apply_refinement
+        out = apply_refinement(self.unet_spec, self.state["unet_params"],
+                               self.state["unet_stats"], pred_raydrop,
+                               pred_intensity, pred_depth)
+        return np.asarray(out)
+
+    # ------------------------------------------------------------------
     def render_lidar_frame(self, fi, use_ema=False):
         params = self.state["ema_params"] if use_ema else self.state["params"]
         return jax.tree.map(np.asarray, self._eval_lidar(params, jnp.int32(fi)))
@@ -540,7 +642,9 @@ class Trainer:
                                                     payload["ema"])
         for k_src, k_dst in (("opt_state", "opt_state"),
                              ("error_map", "error_map"),
-                             ("error_map_rgb", "error_map_rgb")):
+                             ("error_map_rgb", "error_map_rgb"),
+                             ("unet", "unet_params"),
+                             ("unet_stats", "unet_stats")):
             if payload.get(k_src) is not None and k_dst in self.state:
                 self.state[k_dst] = jax.tree.map(jnp.asarray,
                                                  payload[k_src])
