@@ -27,6 +27,11 @@ V100_BASELINE_RAYS_PER_SEC = 20_000.0
 def main():
     import jax
 
+    # persistent compile cache: the flagship train-step graph is large
+    jax.config.update("jax_compilation_cache_dir", "/tmp/nvsf_tpu_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     from nvsf_tpu.config import NVSFConfig
     from nvsf_tpu.data.synthetic import SyntheticSceneSpec, make_synthetic_scene
     from nvsf_tpu.train.trainer import Trainer
@@ -50,16 +55,18 @@ def main():
 
     tr = Trainer(cfg, scene, workspace="/tmp/nvsf_bench")
 
-    # warmup/compile
-    order = np.arange(min(2, len(scene)))
-    tr.train_one_epoch(order=order)
-
-    # timed steps
-    n_steps = 30
+    # warmup/compile — same scan length as the timed run so the compiled
+    # executable is reused
+    n_steps = 16
     frames = np.resize(np.arange(len(scene)), n_steps)
+    tr.train_one_epoch(order=frames)
+    # force a real device->host sync (block_until_ready alone can be
+    # unreliable through remote-execution tunnels)
+    float(np.asarray(tr.state["step"]))
+
     t0 = time.perf_counter()
     tr.train_one_epoch(order=frames)
-    jax.block_until_ready(tr.state["params"])
+    float(np.asarray(tr.state["step"]))
     dt = time.perf_counter() - t0
 
     rays_per_sec = cfg.num_rays_lidar * n_steps / dt

@@ -1,0 +1,136 @@
+"""CLI entry point — training / evaluation / testing / novel-sensor synthesis.
+
+Keeps the reference CLI surface (``nvsf/scripts/main_nvsf.py``): same flags,
+config txt files, and train/test_eval branches.
+
+Usage:
+  python -m nvsf_tpu.scripts.main_nvsf --config configs/kitti360_1908.txt
+  python -m nvsf_tpu.scripts.main_nvsf --config ... --test_eval --use_refine
+  python -m nvsf_tpu.scripts.main_nvsf --config ... --test \
+      --delta_position 0 0 1 --V_lidar_ch 32      # novel sensor
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from nvsf_tpu.config import NVSFConfig, load_config
+
+
+def seed_everything(seed: int):
+    import random
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def _load_scene(cfg, split, novel_sensor=None):
+    if cfg.dataloader == "synthetic":
+        from nvsf_tpu.data.synthetic import (SyntheticSceneSpec,
+                                             make_synthetic_scene)
+        spec = SyntheticSceneSpec(num_frames=cfg.num_frames, scale=cfg.scale)
+        return make_synthetic_scene(spec, split=split)
+    from nvsf_tpu.data.kitti360 import load_kitti360_scene
+    return load_kitti360_scene(cfg, split, novel_sensor=novel_sensor)
+
+
+def _novel_sensor_dict(cfg):
+    ns = {
+        "delta_position": cfg.delta_position,
+        "delta_orientation": cfg.delta_orientation,
+        "H_lidar_new": cfg.V_lidar_ch,
+        "W_lidar_new": cfg.H_lidar_ch,
+        "intrinsics_lidar_new": cfg.intrinsics_lidar_new,
+        "intrinsics_hoz_lidar_new": cfg.intrinsics_hoz_lidar_new,
+        "delta_pos_camera": cfg.delta_pos_camera,
+        "delta_orient_camera": cfg.delta_orient_camera,
+        "H_new": cfg.H_new, "W_new": cfg.W_new,
+    }
+    changed = (any(np.any(np.asarray(v)) for v in (
+        cfg.delta_position, cfg.delta_orientation, cfg.delta_pos_camera,
+        cfg.delta_orient_camera, cfg.intrinsics_lidar_new,
+        cfg.intrinsics_hoz_lidar_new))
+        or cfg.V_lidar_ch or cfg.H_lidar_ch or cfg.H_new or cfg.W_new)
+    return ns if changed else None
+
+
+def main(argv=None):
+    cfg = load_config(argv)
+    seed_everything(cfg.seed)
+    os.makedirs(cfg.workspace, exist_ok=True)
+    # args dump (``main_nvsf.py:151-156``)
+    with open(os.path.join(cfg.workspace, f"args_{cfg.name}.txt"), "w") as f:
+        for k, v in cfg.to_dict().items():
+            f.write(f"{k} = {v}\n")
+
+    from nvsf_tpu.train.evaluate import evaluate
+    from nvsf_tpu.train.trainer import Trainer
+    from nvsf_tpu.parallel.mesh import make_mesh, mesh_from_spec
+    import jax
+
+    mesh = None
+    if cfg.mesh_shape:
+        mesh = mesh_from_spec(cfg.mesh_shape)
+    elif len(jax.devices()) > 1:
+        mesh = make_mesh()
+
+    if cfg.test or cfg.test_eval:
+        ns = _novel_sensor_dict(cfg)
+        cfg_run = cfg.finalize(steps_per_epoch=1)
+        test_scene = _load_scene(cfg_run, "test", novel_sensor=ns)
+        train_scene_stub = test_scene  # trainer binds to a scene for shapes
+        trainer = Trainer(cfg_run, train_scene_stub,
+                          workspace=cfg_run.workspace, mesh=mesh)
+        if not trainer.load_checkpoint(cfg_run.ckpt):
+            raise FileNotFoundError(
+                f"no checkpoint '{cfg_run.ckpt}' in {cfg_run.workspace}")
+        results_dir = os.path.join(cfg_run.workspace, "results")
+        if test_scene.has_gt and cfg_run.test_eval:
+            evaluate(trainer, test_scene, use_refine=cfg_run.use_refine,
+                     save_dir=results_dir, name=cfg_run.name,
+                     write_outputs=True)
+        # test: render + dump every frame even without GT
+        from nvsf_tpu.train.test_mode import run_test
+        run_test(trainer, test_scene, save_dir=results_dir,
+                 name=cfg_run.name, use_refine=cfg_run.use_refine)
+        # density mesh export (``main_nvsf.py:297-300``)
+        from nvsf_tpu.render.export import export_mesh_density
+        export_mesh_density(
+            trainer, bound_min=(-0.5, -0.5, 0.06), bound_max=(0.5, 0.5, 0.09),
+            xyz_res=(256, 256, 32), threshold=cfg_run.density_thresh,
+            out_path=os.path.join(results_dir, f"{cfg_run.name}_mesh.ply"))
+        return
+
+    # ------------------------- training -------------------------
+    train_scene = _load_scene(cfg, "train")
+    cfg_run = cfg.finalize(steps_per_epoch=len(train_scene))
+    val_scene = _load_scene(cfg_run, "val")
+    trainer = Trainer(cfg_run, train_scene, workspace=cfg_run.workspace,
+                      mesh=mesh)
+    if cfg_run.ckpt != "scratch":
+        trainer.load_checkpoint(cfg_run.ckpt)
+
+    t0 = time.time()
+    for ep in range(trainer.epoch + 1, cfg_run.epochs + 1):
+        trainer.epoch = ep
+        stats = trainer.train_one_epoch()
+        if ep % cfg_run.eval_interval == 0 or ep == cfg_run.epochs:
+            trainer.save_checkpoint(full=True)
+            print(f"[epoch {ep}] loss={stats.loss:.5f} "
+                  f"({(time.time() - t0) / 60:.1f} min)")
+            evaluate(trainer, val_scene, use_refine=False,
+                     save_dir=os.path.join(cfg_run.workspace, "validation"),
+                     name=f"{cfg_run.name}_ep{ep:04d}")
+    # refine + refined eval (``trainer.py:1092-1096``)
+    if cfg_run.enable_lidar:
+        trainer.refine()
+        evaluate(trainer, val_scene, use_refine=True,
+                 save_dir=os.path.join(cfg_run.workspace, "validation"),
+                 name=f"{cfg_run.name}_ep{trainer.epoch:04d}_refined")
+    print(f"==> Training finished in {(time.time() - t0) / 60:.2f} minutes")
+
+
+if __name__ == "__main__":
+    main()
