@@ -1,0 +1,116 @@
+"""Occupancy grid + static-shape sample compaction (the TPU replacement for
+the reference's CUDA occupancy-grid ray marcher).
+
+The reference marches rays through a Morton-indexed density bitfield with
+atomicAdd compaction into variable-length sample buffers
+(``raymarching.cu:332-576``). Variable-length anything is hostile to XLA, so
+the TPU design is:
+
+  1. keep a dense density grid [G, G, G] (EMA-updated from the field like
+     instant-ngp);
+  2. per ray, generate T_coarse uniform candidate depths, look up occupancy
+     (one cheap gather per sample);
+  3. select the first K occupied samples per ray with a top-k on the key
+     (occupied ? z : +inf) — a fixed-size compaction; emit a validity mask;
+  4. evaluate the field only at N x K points and composite with masked
+     deltas.
+
+Speedup = T_coarse / K on the field-evaluation hot path (where >95% of the
+step time is spent), with exact z positions preserved.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class OccupancyGridSpec:
+    grid_size: int = 128
+    bound: float = 1.0
+    decay: float = 0.6            # density decay per update (empty cells
+                                  # clear within ~10 updates from init)
+    update_fraction: int = 4      # update G^3 / 4 random cells per update
+    init_density: float = 32.0    # start occupied; decays below thresh ~1
+                                  # after log(init/thresh)/log(1/decay) upd.
+
+    @property
+    def n_cells(self) -> int:
+        return self.grid_size ** 3
+
+    def init(self):
+        """Density estimates per cell; occupancy is density > threshold.
+        Start fully occupied so early training sees everything (the dense
+        uniform sampling regime), then empty space decays away."""
+        return jnp.full((self.grid_size,) * 3, self.init_density,
+                        jnp.float32)
+
+    # ------------------------------------------------------------------
+    def cell_centers(self, cells):
+        """[M] flat cell indices -> [M, 3] world coords of jittered centers
+        (deterministic centers; jitter applied by the caller)."""
+        G = self.grid_size
+        z = cells % G
+        y = (cells // G) % G
+        x = cells // (G * G)
+        ijk = jnp.stack([x, y, z], axis=-1).astype(jnp.float32)
+        u = (ijk + 0.5) / G
+        return (u * 2.0 - 1.0) * self.bound
+
+    def update(self, grid, key, density_fn, thresh=0.01):
+        """EMA-update a random subset of cells with fresh field densities
+        (instant-ngp schedule; replaces ``update_extra_state`` of the
+        torch-ngp lineage). density_fn: [M, 3] -> [M] sigma."""
+        G = self.grid_size
+        M = self.n_cells // self.update_fraction
+        k_cells, k_jit = jax.random.split(key)
+        cells = jax.random.randint(k_cells, (M,), 0, self.n_cells)
+        pos = self.cell_centers(cells)
+        jitter = (jax.random.uniform(k_jit, pos.shape) - 0.5) \
+            * (2.0 * self.bound / G)
+        sigma = density_fn(pos + jitter)
+        flat = grid.reshape(-1)
+        old = flat[cells]
+        new = jnp.maximum(old * self.decay, sigma)
+        return flat.at[cells].set(new).reshape(grid.shape)
+
+    # ------------------------------------------------------------------
+    def occupied_at(self, grid, xyz, thresh):
+        """xyz: [..., 3] world coords -> bool occupancy."""
+        G = self.grid_size
+        u = (xyz / self.bound + 1.0) * 0.5
+        ijk = jnp.clip((u * G).astype(jnp.int32), 0, G - 1)
+        return grid[ijk[..., 0], ijk[..., 1], ijk[..., 2]] > thresh
+
+    def compact_samples(self, grid, rays_o, rays_d, z_candidates, K: int,
+                        thresh: float):
+        """Compact T candidate depths to K samples spread evenly over the
+        ray's OCCUPIED candidates (static-shape replacement for the CUDA
+        marcher's variable-length compaction).
+
+        z_candidates: [N, T] ascending. Returns (z_sel [N, K] ascending,
+        valid [N, K]). With m occupied candidates per ray: m <= K keeps all
+        m (padding masked out); m > K picks K evenly-strided ones, so the
+        whole occupied extent stays covered (the segment deltas then span
+        the skipped occupied space — correct piecewise-constant quadrature).
+        """
+        N, T = z_candidates.shape
+        xyz = rays_o[:, None, :] + rays_d[:, None, :] \
+            * z_candidates[..., None]
+        occ = self.occupied_at(grid, xyz, thresh)              # [N, T]
+        m = occ.sum(axis=-1, keepdims=True)                    # [N, 1]
+        # occupied candidates packed to the front, z order preserved
+        # (stable argsort of ~occ keeps ascending z within each group)
+        order = jnp.argsort(~occ, axis=-1, stable=True)        # [N, T]
+        z_packed = jnp.take_along_axis(z_candidates, order, axis=-1)
+        k = jnp.arange(K)[None, :]                             # [1, K]
+        strided = ((k.astype(jnp.float32) + 0.5) * m / K).astype(jnp.int32)
+        ranks = jnp.where(m > K, strided, jnp.minimum(k, jnp.maximum(m - 1,
+                                                                     0)))
+        z_sel = jnp.take_along_axis(z_packed, ranks, axis=-1)
+        valid = k < jnp.minimum(m, K)
+        z_sel = jnp.where(valid, z_sel, z_candidates[:, -1:])
+        return z_sel, valid

@@ -180,6 +180,92 @@ class RendererSpec:
                 "weights": weights, "z_vals": z_vals}
 
     # ------------------------------------------------------------------
+    def run_occupancy(self, params, rays_o, rays_d, time, occ_spec, occ_grid,
+                      *, num_steps_occ: int, cal_lidar_color=False,
+                      perturb=False, key=None, bg_color=None,
+                      occ_thresh: float = 0.01):
+        """Occupancy-accelerated rendering: T_coarse uniform candidates are
+        compacted to the K nearest occupied samples per ray (static shapes),
+        then the field is evaluated only at N x K points.
+
+        Replaces the reference's CUDA occupancy-grid marcher
+        (``raymarching.cu:332-576``) with a fixed-size top-k compaction —
+        see ``nvsf_tpu/ops/occupancy.py``.
+        """
+        N = rays_o.shape[0]
+        T = self.num_steps
+        K = num_steps_occ
+        aabb = self.aabb
+
+        if cal_lidar_color:
+            nears = jnp.full((N, 1), self.min_near_lidar, jnp.float32)
+            fars = jnp.full((N, 1), self.lidar_max_depth, jnp.float32)
+        else:
+            nears, fars = near_far_from_aabb(rays_o, rays_d, aabb,
+                                             self.min_near)
+            nears, fars = nears[:, None], fars[:, None]
+
+        z = jnp.linspace(0.0, 1.0, T, dtype=jnp.float32)[None, :]
+        z_cand = nears + (fars - nears) * z
+        sample_dist = (fars - nears) / T
+        if perturb:
+            assert key is not None
+            key, kz = jax.random.split(key)
+            z_cand = z_cand + (jax.random.uniform(kz, z_cand.shape) - 0.5) \
+                * sample_dist
+
+        z_vals, valid = occ_spec.compact_samples(
+            occ_grid, rays_o, rays_d, z_cand, K, occ_thresh)   # [N, K]
+
+        xyzs = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+        xyzs = jnp.clip(xyzs, aabb[:3], aabb[3:])
+        dout = self.field.density(params, xyzs.reshape(-1, 3), time,
+                                  cal_lidar_color=cal_lidar_color,
+                                  compute_dtype=self._cdtype)
+        sigmas = dout["sigma"].reshape(N, K)
+        geo_feat = dout["geo_feat"]
+
+        # deltas between selected samples; masked-out slots contribute
+        # nothing (sigma -> 0 via mask)
+        deltas = z_vals[..., 1:] - z_vals[..., :-1]
+        deltas = jnp.concatenate(
+            [deltas, jnp.broadcast_to(sample_dist, (N, 1))], axis=-1)
+        # clamp segment length: gaps spanning skipped EMPTY space must not
+        # inherit this sample's sigma over the whole gap
+        deltas = jnp.clip(deltas, 0.0, 2.0 * sample_dist * (T / K))
+        sigmas = jnp.where(valid, sigmas, 0.0)
+
+        exponent = 2.0 if self.active_sensor else 1.0
+        alphas = 1.0 - jnp.exp(-exponent * deltas * self.density_scale
+                               * sigmas)
+        trans = jnp.cumprod(
+            jnp.concatenate([jnp.ones((N, 1)), 1.0 - alphas + 1e-15], -1),
+            axis=-1)[:, :-1]
+        weights = alphas * trans
+
+        dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
+        mask = ((weights > 1e-4) & valid).reshape(-1)
+        rgbs = self.field.color(params, xyzs.reshape(-1, 3),
+                                dirs.reshape(-1, 3), geo_feat,
+                                cal_lidar_color=cal_lidar_color, mask=mask,
+                                compute_dtype=self._cdtype)
+        rgbs = rgbs.reshape(N, K, -1)
+
+        weights_sum = weights.sum(axis=-1)
+        depth = jnp.sum(weights * z_vals, axis=-1)
+        image = jnp.sum(weights[..., None] * rgbs, axis=-2)
+        if not cal_lidar_color:
+            if bg_color is None:
+                bg_color = 1.0
+            image = image + (1.0 - weights_sum)[..., None] * bg_color
+        if cal_lidar_color:
+            return {"depth_lidar": depth, "image_lidar": image,
+                    "weights_sum_lidar": weights_sum,
+                    "weights": weights, "z_vals": z_vals}
+        return {"depth": depth, "image": image, "weights_sum": weights_sum,
+                "weights": weights, "z_vals": z_vals}
+
+    # ------------------------------------------------------------------
     def _importance_resample(self, params, rays_o, rays_d, time, z_vals,
                              sample_dist, cal_lidar_color, key):
         """Coarse pass -> CDF resample -> merged sorted z values."""

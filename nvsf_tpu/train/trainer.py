@@ -140,6 +140,13 @@ class Trainer:
         if cfg.flow_loss and cfg.enable_lidar:
             self.pc_data = self._process_pointclouds()
 
+        # occupancy grids (one per enabled branch) for accelerated rendering
+        self.occ_spec = None
+        if cfg.render_mode == "occupancy":
+            from nvsf_tpu.ops.occupancy import OccupancyGridSpec
+            self.occ_spec = OccupancyGridSpec(
+                grid_size=cfg.occ_grid_size, bound=cfg.bound)
+
         # ---------------- train state ----------------
         key = jax.random.PRNGKey(seed)
         key, kp = jax.random.split(key)
@@ -163,6 +170,11 @@ class Trainer:
             # quarter image res (``base_dataset.py:246``)
             state["error_map_rgb"] = jnp.ones(
                 (len(scene), scene.H // 4, scene.W // 4), jnp.float32)
+        if self.occ_spec is not None:
+            if cfg.enable_lidar:
+                state["occ_grid_lidar"] = self.occ_spec.init()
+            if cfg.enable_rgb:
+                state["occ_grid_rgb"] = self.occ_spec.init()
         self.state = state
         self.epoch = 0
         self.global_step = 0
@@ -292,8 +304,17 @@ class Trainer:
                     gt_intensity = gt[:, 1] * gt_raydrop
                     gt_depth = gt[:, 2] * gt_raydrop
 
-                    out = rend.run(params, ro, rd, t, cal_lidar_color=True,
-                                   perturb=True, key=k_pl)
+                    if self.occ_spec is not None:
+                        out = rend.run_occupancy(
+                            params, ro, rd, t, self.occ_spec,
+                            state["occ_grid_lidar"],
+                            num_steps_occ=cfg.num_steps_occ,
+                            cal_lidar_color=True, perturb=True, key=k_pl,
+                            occ_thresh=cfg.occ_thresh)
+                    else:
+                        out = rend.run(params, ro, rd, t,
+                                       cal_lidar_color=True, perturb=True,
+                                       key=k_pl)
                     pred_raydrop = out["image_lidar"][:, 0]
                     pred_intensity = out["image_lidar"][:, 1] * gt_raydrop
                     pred_depth = out["depth_lidar"] * gt_raydrop
@@ -390,9 +411,17 @@ class Trainer:
                             + bg * (1 - gt_rgb[..., 3:])
                     else:
                         bg = 1.0
-                    out_c = rend.run(params, ro_c, rd_c, t,
-                                     cal_lidar_color=False, perturb=True,
-                                     key=k_pc, bg_color=bg)
+                    if self.occ_spec is not None:
+                        out_c = rend.run_occupancy(
+                            params, ro_c, rd_c, t, self.occ_spec,
+                            state["occ_grid_rgb"],
+                            num_steps_occ=cfg.num_steps_occ,
+                            cal_lidar_color=False, perturb=True, key=k_pc,
+                            bg_color=bg, occ_thresh=cfg.occ_thresh)
+                    else:
+                        out_c = rend.run(params, ro_c, rd_c, t,
+                                         cal_lidar_color=False, perturb=True,
+                                         key=k_pc, bg_color=bg)
                     rgb_l = cfg.alpha_rgb * criterion["rgb"](out_c["image"],
                                                              gt_rgb[..., :3])
                     aux["rgb"] = rgb_l.sum()
@@ -424,6 +453,32 @@ class Trainer:
             new_state = dict(state)
             new_state.update(params=params, opt_state=opt_state, key=key,
                              step=state["step"] + 1)
+
+            # periodic occupancy-grid refresh from the updated field
+            # (instant-ngp cadence; replaces the torch-ngp density-grid
+            # update the reference's CUDA marcher relied on)
+            if self.occ_spec is not None:
+                key, k_occ_l, k_occ_c = jax.random.split(key, 3)
+                new_state["key"] = key
+                do_update = (state["step"] % cfg.occ_update_interval) == 0
+
+                def _upd(grid, kk, lidar):
+                    return self.occ_spec.update(
+                        grid, kk,
+                        lambda p: field.density(
+                            params, p, t, cal_lidar_color=lidar)["sigma"],
+                        thresh=cfg.occ_thresh)
+
+                if cfg.enable_lidar:
+                    new_state["occ_grid_lidar"] = jax.lax.cond(
+                        do_update,
+                        lambda g: _upd(g, k_occ_l, True),
+                        lambda g: g, state["occ_grid_lidar"])
+                if cfg.enable_rgb:
+                    new_state["occ_grid_rgb"] = jax.lax.cond(
+                        do_update,
+                        lambda g: _upd(g, k_occ_c, False),
+                        lambda g: g, state["occ_grid_rgb"])
             if cfg.enable_lidar:
                 new_state["error_map"] = state["error_map"].at[fi].set(
                     sampler.update_error_map(
