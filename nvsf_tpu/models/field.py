@@ -188,16 +188,20 @@ class NVSFFieldSpec:
         frame_idx = jnp.floor(t * (self.num_frames - 1))
 
         hash_s = hspec.apply_static(hash_p, xn)
-        hash_d = hspec.apply_dynamic(hash_p, xn, t)
-
         tcol = jnp.full((xn.shape[0], 1), t)
         xt = jnp.concatenate([xn, tcol], axis=-1)
-        plane_s, plane_d = pspec.apply(plane_p, xt)
 
         flow = self.flow_spec.apply(params["flow"], xt, compute_dtype)
 
         # ±1-frame temporal warp; note the reference normalizes the warped
         # times by num_frames (not num_frames - 1) — kept as-is.
+        # All three temporal queries (t, t±1) are batched with vmap over
+        # (position set, time) pairs: one encoder graph instead of three
+        # unrolled copies (compile time) and one big fused gather batch
+        # (run time). The warped slices are stop_gradient'ed, replicating
+        # the reference's no_grad on the hash re-queries
+        # (``network_dynamic.py:245-271``) — table grads flow only through
+        # the t-slice, and grads reach the flow net only via the K-planes.
         t1 = (frame_idx + 1) / self.num_frames
         t2 = (frame_idx - 1) / self.num_frames
         x1 = xn + flow[:, :3]
@@ -205,12 +209,20 @@ class NVSFFieldSpec:
         has_next = frame_idx < self.num_frames - 1
         has_prev = frame_idx > 0
 
-        hash_1 = jax.lax.stop_gradient(hspec.apply_dynamic(hash_p, x1, t1))
-        hash_2 = jax.lax.stop_gradient(hspec.apply_dynamic(hash_p, x2, t2))
-        xt1 = jnp.concatenate([x1, jnp.full((xn.shape[0], 1), t1)], axis=-1)
-        xt2 = jnp.concatenate([x2, jnp.full((xn.shape[0], 1), t2)], axis=-1)
-        plane_1 = pspec.apply_dynamic(plane_p, xt1)
-        plane_2 = pspec.apply_dynamic(plane_p, xt2)
+        xs = jnp.stack([xn, x1, x2])                   # [3, N, 3]
+        ts = jnp.stack([t, t1, t2])
+        hash_d3 = jax.vmap(
+            lambda xx, tt: hspec.apply_dynamic(hash_p, xx, tt))(xs, ts)
+        hash_d = hash_d3[0]
+        hash_1 = jax.lax.stop_gradient(hash_d3[1])
+        hash_2 = jax.lax.stop_gradient(hash_d3[2])
+
+        tcols = ts[:, None, None] * jnp.ones((3, xn.shape[0], 1))
+        xts = jnp.concatenate([xs, tcols], axis=-1)    # [3, N, 4]
+        plane_s = pspec.apply_static(plane_p, xt)
+        plane_d3 = jax.vmap(
+            lambda xx: pspec.apply_dynamic(plane_p, xx))(xts)
+        plane_d, plane_1, plane_2 = plane_d3[0], plane_d3[1], plane_d3[2]
 
         hash_1 = jnp.where(has_next, hash_1, hash_d)
         plane_1 = jnp.where(has_next, plane_1, plane_d)

@@ -69,50 +69,64 @@ class HashEncodingSpec:
             jnp.float32, -1e-4, 1e-4)
 
     # ------------------------------------------------------------------
-    def _corner_indices(self, level: int, pos_grid: jnp.ndarray) -> jnp.ndarray:
-        """pos_grid: [N, 2^D, D] int32 corner coords -> [N, 2^D] table rows."""
-        res = self.resolutions[level]
+    def _level_features(self, table_l, x, res, is_dense, offs):
+        """One level's gather + D-linear lerp; res/is_dense may be traced
+        (uniform body for lax.scan over levels)."""
+        D = self.dim
         T = self.table_size
-        if (res + 1) ** self.dim <= T:
-            # dense: row-major over (res+1)^D
-            idx = pos_grid[..., 0]
-            stride = 1
-            for d in range(1, self.dim):
-                stride *= res + 1
-                idx = idx + pos_grid[..., d] * stride
-            return idx
-        # spatial hash (instant-ngp): xor of coord * prime, masked to T
-        h = pos_grid[..., 0].astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
-        for d in range(1, self.dim):
-            h = h ^ (pos_grid[..., d].astype(jnp.uint32) * jnp.uint32(_PRIMES[d]))
-        return (h & jnp.uint32(T - 1)).astype(jnp.int32)
+        n_corners = 1 << D
+        pos = x.astype(jnp.float32) * res  # instant-ngp: scale by res
+        c0 = jnp.floor(pos)
+        w = pos - c0  # [N, D]
+        c0 = c0.astype(jnp.int32)
+        corners = jnp.clip(c0[:, None, :] + offs[None, :, :], 0, res)
+        # dense index (row-major over (res+1)^D)
+        idx_dense = corners[..., 0]
+        stride = 1
+        for d in range(1, D):
+            stride = stride * (res + 1)
+            idx_dense = idx_dense + corners[..., d] * stride
+        # spatial hash (instant-ngp)
+        h = corners[..., 0].astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
+        for d in range(1, D):
+            h = h ^ (corners[..., d].astype(jnp.uint32)
+                     * jnp.uint32(_PRIMES[d]))
+        idx_hash = (h & jnp.uint32(T - 1)).astype(jnp.int32)
+        idx = jnp.where(is_dense, idx_dense, idx_hash)
+        vals = jnp.take(table_l, idx, axis=0)  # [N, 2^D, F]
+        wc = jnp.ones(x.shape[:1] + (n_corners,), jnp.float32)
+        for d in range(D):
+            wd = jnp.where(offs[None, :, d] == 1, w[:, d:d + 1],
+                           1.0 - w[:, d:d + 1])
+            wc = wc * wd
+        return jnp.sum(vals * wc[..., None], axis=1)  # [N, F]
 
     def apply(self, table: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-        """x: [N, D] in [0, 1] -> [N, L * F] features."""
+        """x: [N, D] in [0, 1] -> [N, L * F] features.
+
+        Levels run under lax.scan with a uniform body (compile-time: the
+        8-level unrolled graph otherwise multiplies across the 2 branches x
+        3 temporal queries of the full field and dominates XLA compile)."""
         D = self.dim
-        n_corners = 1 << D
-        # [2^D, D] corner offsets
         offs = np.stack(np.meshgrid(*([np.arange(2)] * D), indexing="ij"),
                         axis=-1).reshape(-1, D)
         offs = jnp.asarray(offs, dtype=jnp.int32)
+        res_arr = jnp.asarray(self.resolutions, jnp.int32)
+        dense_arr = jnp.asarray(
+            [(r + 1) ** D <= self.table_size for r in self.resolutions])
 
-        feats = []
-        for l, res in enumerate(self.resolutions):
-            pos = x.astype(jnp.float32) * res  # instant-ngp: scale by res
-            c0 = jnp.floor(pos)
-            w = pos - c0  # [N, D]
-            c0 = c0.astype(jnp.int32)
-            corners = jnp.clip(c0[:, None, :] + offs[None, :, :], 0, res)
-            idx = self._corner_indices(l, corners)  # [N, 2^D]
-            vals = jnp.take(table[l], idx, axis=0)  # [N, 2^D, F]
-            # D-linear interpolation weights
-            wc = jnp.ones(x.shape[:1] + (n_corners,), jnp.float32)
-            for d in range(D):
-                wd = jnp.where(offs[None, :, d] == 1, w[:, d:d + 1],
-                               1.0 - w[:, d:d + 1])
-                wc = wc * wd
-            feats.append(jnp.sum(vals * wc[..., None], axis=1))  # [N, F]
-        return jnp.concatenate(feats, axis=-1)
+        if self.n_levels == 1:
+            feats = self._level_features(table[0], x, res_arr[0],
+                                         dense_arr[0], offs)[None]
+        else:
+            def body(_, inp):
+                tbl_l, res, dense = inp
+                return None, self._level_features(tbl_l, x, res, dense, offs)
+
+            _, feats = jax.lax.scan(body, None, (table, res_arr, dense_arr))
+        # [L, N, F] -> [N, L*F]
+        return jnp.transpose(feats, (1, 0, 2)).reshape(
+            x.shape[0], self.n_output_dims)
 
 
 def lagrange_interp_features(x: jnp.ndarray, t, n_levels: int,
@@ -179,11 +193,12 @@ class HashGridTSpec:
         i1 = jnp.floor(idx).astype(jnp.int32)
         i2 = jnp.minimum(i1 + 1, self.time_resolution - 1)
         w2 = idx - i1.astype(jnp.float32)
-        f1 = self.grid.apply(
-            jax.lax.dynamic_index_in_dim(tables, i1, 0, keepdims=False), x)
-        f2 = self.grid.apply(
-            jax.lax.dynamic_index_in_dim(tables, i2, 0, keepdims=False), x)
-        feat = (1.0 - w2) * f1 + w2 * f2
+        # one vmapped encoder over the two adjacent time bins (graph size)
+        tables2 = jnp.stack([
+            jax.lax.dynamic_index_in_dim(tables, i1, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(tables, i2, 0, keepdims=False)])
+        f12 = jax.vmap(self.grid.apply, in_axes=(0, None))(tables2, x)
+        feat = (1.0 - w2) * f12[0] + w2 * f12[1]
         return lagrange_interp_features(
             feat, t, self.n_levels, self.n_features_per_level, self.num_basis)
 
