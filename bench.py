@@ -50,7 +50,8 @@ def main():
         num_rays_lidar=2048, num_rays=2048,
         num_steps=768, max_ray_batch=4096,
         iters=1000, epochs=1, use_error_map=True,
-        fp16=True,
+        fp16=True, remat_chunks=8,
+        render_mode="occupancy", num_steps_occ=192,
         workspace="/tmp/nvsf_bench"))
 
     tr = Trainer(cfg, scene, workspace="/tmp/nvsf_bench")

@@ -63,18 +63,25 @@ class HashEncodingSpec:
         return self.n_levels * self.n_features_per_level
 
     def init(self, key):
-        # tcnn init: U(-1e-4, 1e-4)
+        # tcnn init: U(-1e-4, 1e-4). Layout is feature-major [L, F, T]:
+        # TPU pads the two minor dims to (8, 128) tiles, so the big table
+        # axis must be last or memory inflates 32x (F is only 4).
         return jax.random.uniform(
-            key, (self.n_levels, self.table_size, self.n_features_per_level),
+            key, (self.n_levels, self.n_features_per_level, self.table_size),
             jnp.float32, -1e-4, 1e-4)
 
     # ------------------------------------------------------------------
     def _level_features(self, table_l, x, res, is_dense, offs):
         """One level's gather + D-linear lerp; res/is_dense may be traced
-        (uniform body for lax.scan over levels)."""
+        (uniform body for lax.scan over levels).
+
+        table_l: [F, T] feature-major; returns [F, N] — every large tensor
+        keeps its big axis last so TPU (8, 128) tiling doesn't pad it away.
+        """
         D = self.dim
         T = self.table_size
         n_corners = 1 << D
+        N = x.shape[0]
         pos = x.astype(jnp.float32) * res  # instant-ngp: scale by res
         c0 = jnp.floor(pos)
         w = pos - c0  # [N, D]
@@ -92,21 +99,24 @@ class HashEncodingSpec:
             h = h ^ (corners[..., d].astype(jnp.uint32)
                      * jnp.uint32(_PRIMES[d]))
         idx_hash = (h & jnp.uint32(T - 1)).astype(jnp.int32)
-        idx = jnp.where(is_dense, idx_dense, idx_hash)
-        vals = jnp.take(table_l, idx, axis=0)  # [N, 2^D, F]
-        wc = jnp.ones(x.shape[:1] + (n_corners,), jnp.float32)
+        idx = jnp.where(is_dense, idx_dense, idx_hash)  # [N, 2^D]
+        vals = jnp.take(table_l, idx.reshape(-1), axis=1)  # [F, N*2^D]
+        vals = vals.reshape(-1, N, n_corners)              # [F, N, 2^D]
+        wc = jnp.ones((N, n_corners), jnp.float32)
         for d in range(D):
             wd = jnp.where(offs[None, :, d] == 1, w[:, d:d + 1],
                            1.0 - w[:, d:d + 1])
             wc = wc * wd
-        return jnp.sum(vals * wc[..., None], axis=1)  # [N, F]
+        return jnp.sum(vals * wc[None], axis=-1)  # [F, N]
 
     def apply(self, table: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         """x: [N, D] in [0, 1] -> [N, L * F] features.
 
-        Levels run under lax.scan with a uniform body (compile-time: the
-        8-level unrolled graph otherwise multiplies across the 2 branches x
-        3 temporal queries of the full field and dominates XLA compile)."""
+        Levels run under lax.scan with a uniform, rematerialized body:
+        unrolling 8 levels across the field's 2 branches x 3 temporal
+        queries dominates XLA compile time, and without remat the backward
+        would save every level's gathered corners as residuals (tens of GB
+        at 2048 rays x 768 samples)."""
         D = self.dim
         offs = np.stack(np.meshgrid(*([np.arange(2)] * D), indexing="ij"),
                         axis=-1).reshape(-1, D)
@@ -115,18 +125,19 @@ class HashEncodingSpec:
         dense_arr = jnp.asarray(
             [(r + 1) ** D <= self.table_size for r in self.resolutions])
 
+        level_fn = jax.checkpoint(
+            lambda tbl_l, res, dense: self._level_features(tbl_l, x, res,
+                                                           dense, offs))
         if self.n_levels == 1:
-            feats = self._level_features(table[0], x, res_arr[0],
-                                         dense_arr[0], offs)[None]
+            feats = level_fn(table[0], res_arr[0], dense_arr[0])[None]
         else:
             def body(_, inp):
                 tbl_l, res, dense = inp
-                return None, self._level_features(tbl_l, x, res, dense, offs)
+                return None, level_fn(tbl_l, res, dense)
 
             _, feats = jax.lax.scan(body, None, (table, res_arr, dense_arr))
-        # [L, N, F] -> [N, L*F]
-        return jnp.transpose(feats, (1, 0, 2)).reshape(
-            x.shape[0], self.n_output_dims)
+        # [L, F, N] -> [N, L*F]
+        return jnp.transpose(feats.reshape(self.n_output_dims, -1))
 
 
 def lagrange_interp_features(x: jnp.ndarray, t, n_levels: int,

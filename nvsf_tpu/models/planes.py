@@ -22,10 +22,13 @@ _STATIC = tuple(ci for ci, cc in enumerate(_COO_COMBS) if 3 not in cc)
 _DYNAMIC = tuple(ci for ci, cc in enumerate(_COO_COMBS) if 3 in cc)
 
 
-def bilinear_sample(plane: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+def _bilinear_sample_fmajor(plane: jnp.ndarray, u: jnp.ndarray,
+                            v: jnp.ndarray):
     """Sample plane [F, H, W] at continuous coords (u in [0,1] -> W axis,
     v in [0,1] -> H axis) with align_corners=True + border clamping —
-    F.grid_sample semantics of ``planes_field.py:55-83``."""
+    F.grid_sample semantics of ``planes_field.py:55-83``.
+
+    Returns features-major [F, N] (large axis last for TPU tiling)."""
     F, H, W = plane.shape
     x = jnp.clip(u, 0.0, 1.0) * (W - 1)
     y = jnp.clip(v, 0.0, 1.0) * (H - 1)
@@ -38,13 +41,23 @@ def bilinear_sample(plane: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     flat = plane.reshape(F, H * W)
 
     def gather(yy, xx):
-        return jnp.take(flat, yy * W + xx, axis=1).T  # [N, F]
+        return jnp.take(flat, yy * W + xx, axis=1)  # [F, N]
 
-    out = (gather(y0, x0) * ((1 - wx) * (1 - wy))[:, None]
-           + gather(y0, x1) * (wx * (1 - wy))[:, None]
-           + gather(y1, x0) * ((1 - wx) * wy)[:, None]
-           + gather(y1, x1) * (wx * wy)[:, None])
+    out = (gather(y0, x0) * ((1 - wx) * (1 - wy))[None]
+           + gather(y0, x1) * (wx * (1 - wy))[None]
+           + gather(y1, x0) * ((1 - wx) * wy)[None]
+           + gather(y1, x1) * (wx * wy)[None])
     return out
+
+
+# rematerialized: the backward otherwise saves four gathered corner tensors
+# per plane x scale x temporal query as residuals
+_bilinear_remat = jax.checkpoint(_bilinear_sample_fmajor)
+
+
+def bilinear_sample(plane, u, v):
+    """Public [N, F] variant."""
+    return _bilinear_sample_fmajor(plane, u, v).T
 
 
 @dataclass(frozen=True)
@@ -96,7 +109,7 @@ class Planes4DSpec:
                     continue
                 if sample_only == "dynamic" and not is_dyn:
                     continue
-                f = bilinear_sample(params[si][ci], pts[:, a], pts[:, b])
+                f = _bilinear_remat(params[si][ci], pts[:, a], pts[:, b])
                 if is_dyn:
                     feat_d = f if feat_d is None else feat_d * f
                 else:
@@ -105,8 +118,10 @@ class Planes4DSpec:
                 ms_static.append(feat_s)
             if feat_d is not None:
                 ms_dynamic.append(feat_d)
-        static = jnp.concatenate(ms_static, axis=-1) if ms_static else None
-        dynamic = jnp.concatenate(ms_dynamic, axis=-1) if ms_dynamic else None
+        # feature-major accumulation; transpose once at the end
+        static = jnp.concatenate(ms_static, axis=0).T if ms_static else None
+        dynamic = jnp.concatenate(ms_dynamic, axis=0).T if ms_dynamic \
+            else None
         if sample_only == "static":
             return static
         if sample_only == "dynamic":

@@ -85,6 +85,9 @@ class RendererSpec:
     upsample_steps: int = 0        # >0 enables importance re-sampling
     max_ray_batch: int = 4096
     compute_dtype: str = "float32"
+    remat_chunks: int = 1          # >1: chunked + rematerialized density
+                                   # queries (bounds residual memory at
+                                   # large rays x samples)
 
     @property
     def aabb(self):
@@ -94,6 +97,28 @@ class RendererSpec:
     @property
     def _cdtype(self):
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+    def _query_density(self, params, pts, time, cal_lidar_color):
+        """Field density over a flat [M, 3] point batch.
+
+        With remat_chunks > 1 the batch is processed in sequential chunks
+        under jax.checkpoint: the backward recomputes encoder internals per
+        chunk instead of saving residuals for all M points at once — this is
+        what makes 2048 rays x 768 samples trainable in 16 GB HBM (the
+        reference's tcnn kernels recompute similarly)."""
+        fn = lambda p: self.field.density(
+            params, p, time, cal_lidar_color=cal_lidar_color,
+            compute_dtype=self._cdtype)
+        C = self.remat_chunks
+        if C <= 1:
+            return fn(pts)
+        M = pts.shape[0]
+        pad = (-M) % C
+        pts_p = jnp.pad(pts, ((0, pad), (0, 0))).reshape(C, -1, 3)
+        out = jax.lax.map(jax.checkpoint(fn), pts_p)
+        sigma = out["sigma"].reshape(-1)[:M]
+        geo = out["geo_feat"].reshape(M + pad, -1)[:M]
+        return {"sigma": sigma, "geo_feat": geo}
 
     # ------------------------------------------------------------------
     def run(self, params, rays_o, rays_d, time, *, cal_lidar_color=False,
@@ -135,9 +160,8 @@ class RendererSpec:
         xyzs = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
         xyzs = jnp.clip(xyzs, aabb[:3], aabb[3:])
 
-        dout = self.field.density(params, xyzs.reshape(-1, 3), time,
-                                  cal_lidar_color=cal_lidar_color,
-                                  compute_dtype=self._cdtype)
+        dout = self._query_density(params, xyzs.reshape(-1, 3), time,
+                                   cal_lidar_color)
         sigmas = dout["sigma"].reshape(N, T)
         geo_feat = dout["geo_feat"]
 
@@ -219,9 +243,8 @@ class RendererSpec:
 
         xyzs = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
         xyzs = jnp.clip(xyzs, aabb[:3], aabb[3:])
-        dout = self.field.density(params, xyzs.reshape(-1, 3), time,
-                                  cal_lidar_color=cal_lidar_color,
-                                  compute_dtype=self._cdtype)
+        dout = self._query_density(params, xyzs.reshape(-1, 3), time,
+                                   cal_lidar_color)
         sigmas = dout["sigma"].reshape(N, K)
         geo_feat = dout["geo_feat"]
 

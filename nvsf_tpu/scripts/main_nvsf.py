@@ -112,24 +112,48 @@ def main(argv=None):
     if cfg_run.ckpt != "scratch":
         trainer.load_checkpoint(cfg_run.ckpt)
 
+    from nvsf_tpu.train.logging import (Logger, TensorboardWriter,
+                                        model_summary, save_sampling_heatmap)
+    log = Logger(cfg_run.workspace, cfg_run.name)
+    tb = TensorboardWriter(cfg_run.workspace)
+    log(f"[INFO] model parameters:\n"
+        f"{model_summary(trainer.state['params'])}")
+
     t0 = time.time()
     for ep in range(trainer.epoch + 1, cfg_run.epochs + 1):
         trainer.epoch = ep
         stats = trainer.train_one_epoch()
+        tb.add_scalar("train/loss", stats.loss, ep)
+        tb.add_scalars_dict("train", stats.parts, ep)
         if ep % cfg_run.eval_interval == 0 or ep == cfg_run.epochs:
             trainer.save_checkpoint(full=True)
-            print(f"[epoch {ep}] loss={stats.loss:.5f} "
-                  f"({(time.time() - t0) / 60:.1f} min)")
-            evaluate(trainer, val_scene, use_refine=False,
-                     save_dir=os.path.join(cfg_run.workspace, "validation"),
-                     name=f"{cfg_run.name}_ep{ep:04d}")
+            log(f"[epoch {ep}] loss={stats.loss:.5f} "
+                f"({(time.time() - t0) / 60:.1f} min)")
+            if cfg_run.vis_training and "error_map" in trainer.state:
+                save_sampling_heatmap(
+                    np.asarray(trainer.state["error_map"])[len(train_scene)
+                                                           // 2],
+                    os.path.join(cfg_run.workspace, "validation",
+                                 f"{cfg_run.name}_sampling_lidar_"
+                                 f"{ep}.png"))
+            results = evaluate(
+                trainer, val_scene, use_refine=False,
+                save_dir=os.path.join(cfg_run.workspace, "validation"),
+                name=f"{cfg_run.name}_ep{ep:04d}", log_fn=log)
+            for cat, r in results.items():
+                tb.add_scalars_dict(f"eval_{cat}", {
+                    k: (v[0] if isinstance(v, list) else v)
+                    for k, v in r.items()}, ep)
     # refine + refined eval (``trainer.py:1092-1096``)
     if cfg_run.enable_lidar:
-        trainer.refine()
+        trainer.refine(steps=cfg_run.refine_steps, log_fn=log)
         evaluate(trainer, val_scene, use_refine=True,
                  save_dir=os.path.join(cfg_run.workspace, "validation"),
-                 name=f"{cfg_run.name}_ep{trainer.epoch:04d}_refined")
-    print(f"==> Training finished in {(time.time() - t0) / 60:.2f} minutes")
+                 name=f"{cfg_run.name}_ep{trainer.epoch:04d}_refined",
+                 log_fn=log)
+    log(f"==> Training finished in {(time.time() - t0) / 60:.2f} minutes")
+    tb.close()
+    log.close()
 
 
 if __name__ == "__main__":

@@ -215,6 +215,32 @@ def structural_regularizers(pred_depth_patches, gt_depth_patches,
     return loss
 
 
+def mape_loss(pred, gt, eps=1e-2):
+    """Mean-absolute-percentage style loss (``nvsf/nerf/loss.py`` inventory;
+    unused by the reference trainer but part of its loss library)."""
+    return jnp.abs(pred - gt) / (jnp.abs(gt) + eps)
+
+
+def eff_distortion_loss(weights, z_vals):
+    """O(N) mip-NeRF-360 distortion loss (the reference ships ``EffDistLoss``
+    in ``nvsf/nerf/loss.py:29-87``, also unused by its trainer).
+
+    weights: [N, T]; z_vals: [N, T] (interval midpoints).
+    L = sum_ij w_i w_j |m_i - m_j| + 1/3 sum_i w_i^2 d_i, computed in O(T)
+    via prefix sums.
+    """
+    m = z_vals
+    w = weights
+    wm = w * m
+    cw = jnp.cumsum(w, axis=-1) - w
+    cwm = jnp.cumsum(wm, axis=-1) - wm
+    cross = 2.0 * jnp.sum(wm * cw - w * cwm, axis=-1)
+    d = jnp.concatenate([m[..., 1:] - m[..., :-1],
+                         jnp.zeros_like(m[..., :1])], axis=-1)
+    self_term = jnp.sum(w * w * d, axis=-1) / 3.0
+    return cross + self_term
+
+
 def scrub_loss(loss):
     """NaN -> 0, Inf -> 1e5 (``trainer.py:549-550``)."""
     loss = jnp.where(jnp.isnan(loss), 0.0, loss)

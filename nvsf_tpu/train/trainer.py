@@ -77,7 +77,8 @@ def renderer_spec_from_config(cfg: NVSFConfig,
         lidar_max_depth=cfg.lidar_max_depth,
         active_sensor=cfg.active_sensor, num_steps=cfg.num_steps,
         max_ray_batch=cfg.max_ray_batch,
-        compute_dtype="bfloat16" if cfg.fp16 else cfg.compute_dtype)
+        compute_dtype="bfloat16" if cfg.fp16 else cfg.compute_dtype,
+        remat_chunks=cfg.remat_chunks)
 
 
 def make_optimizer(cfg: NVSFConfig, field: NVSFFieldSpec, params):
@@ -400,6 +401,10 @@ class Trainer:
                     ro_c, rd_c = raylib.get_camera_rays(
                         pose_c, inds_c, H, W, data["intrinsics"])
                     gt_rgb = data["images_flat"][fi][inds_c]
+                    if cfg.color_space == "linear":
+                        from nvsf_tpu.lib.color import srgb_to_linear
+                        gt_rgb = gt_rgb.at[..., :3].set(
+                            srgb_to_linear(gt_rgb[..., :3]))
                     if self.mesh is not None:
                         from nvsf_tpu.parallel.mesh import shard_rays
                         ro_c, rd_c, gt_rgb = shard_rays(self.mesh, ro_c,

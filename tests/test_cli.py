@@ -1,0 +1,65 @@
+"""CLI end-to-end smoke test: train on the synthetic dataloader via the
+main entry point, then logging/summary utilities."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from nvsf_tpu.scripts.main_nvsf import main as cli_main
+from nvsf_tpu.train.logging import (Logger, count_parameters, model_summary,
+                                    save_sampling_heatmap)
+
+
+def test_logger_and_summary(tmp_path):
+    log = Logger(str(tmp_path), "t")
+    log("hello", 123)
+    log.close()
+    txt = (tmp_path / "log_t.txt").read_text()
+    assert "hello 123" in txt
+
+    params = {"a": [np.zeros((3, 4))], "b": {"w": np.zeros(7)}}
+    assert count_parameters(params) == 19
+    s = model_summary(params)
+    assert "TOTAL" in s and "19" in s
+
+
+def test_sampling_heatmap(tmp_path):
+    p = str(tmp_path / "hm.png")
+    save_sampling_heatmap(np.random.default_rng(0).uniform(1, 100, (33, 51)),
+                          p)
+    assert os.path.exists(p)
+
+
+@pytest.mark.slow
+def test_cli_synthetic_train(tmp_path):
+    ws = str(tmp_path / "ws")
+    argv = [
+        "--dataloader", "synthetic", "--path", "unused",
+        "--sequence_id", "syn",
+        "--num_frames", "4", "--scale", "0.04",
+        "--lidar_max_depth", "20", "--min_near_lidar", "0.5",
+        "--intrinsics_lidar", "10.0", "40.0",
+        "--intrinsics_hoz_lidar", "180.0", "360.0",
+        "--enable_lidar",
+        "--epochs", "2", "--eval_interval", "2",
+        "--num_rays_lidar", "128", "--num_steps", "32",
+        "--max_ray_batch", "256",
+        "--min_resolution", "8", "--n_levels_plane", "2",
+        "--base_resolution", "16", "--max_resolution", "64",
+        "--time_resolution", "4", "--n_levels_hash", "2",
+        "--log2_hashmap_size", "10",
+        "--flow_n_levels", "2", "--flow_log2_hashmap_size", "6",
+        "--flow_base_resolution", "8", "--flow_max_resolution", "16",
+        "--workspace", ws, "--ckpt", "scratch", "--name", "smoke",
+        "--refine_steps", "5",
+    ]
+    cli_main(argv)
+    # checkpoints + logs + validation artifacts exist
+    assert os.path.isdir(os.path.join(ws, "checkpoints"))
+    assert any(f.endswith(".pkl")
+               for f in os.listdir(os.path.join(ws, "checkpoints")))
+    assert os.path.exists(os.path.join(ws, "log_smoke.txt"))
+    val = os.path.join(ws, "validation")
+    assert any("error_matrix_combined" in f for f in os.listdir(val))
