@@ -63,11 +63,13 @@ class HashEncodingSpec:
         return self.n_levels * self.n_features_per_level
 
     def init(self, key):
-        # tcnn init: U(-1e-4, 1e-4). Layout is feature-major [L, F, T]:
-        # TPU pads the two minor dims to (8, 128) tiles, so the big table
-        # axis must be last or memory inflates 32x (F is only 4).
+        # tcnn init: U(-1e-4, 1e-4). Stored as a single 2D array [L*F, T]:
+        # TPU pads the two minor dims to (8, 128) tiles, so params must not
+        # end in tiny axes (storing [L, F=4, T] doubles every copy of the
+        # table — params, EMA, Adam moments — via sublane padding).
         return jax.random.uniform(
-            key, (self.n_levels, self.n_features_per_level, self.table_size),
+            key,
+            (self.n_levels * self.n_features_per_level, self.table_size),
             jnp.float32, -1e-4, 1e-4)
 
     # ------------------------------------------------------------------
@@ -125,6 +127,8 @@ class HashEncodingSpec:
         dense_arr = jnp.asarray(
             [(r + 1) ** D <= self.table_size for r in self.resolutions])
 
+        table = table.reshape(self.n_levels, self.n_features_per_level,
+                              self.table_size)
         level_fn = jax.checkpoint(
             lambda tbl_l, res, dense: self._level_features(tbl_l, x, res,
                                                            dense, offs))

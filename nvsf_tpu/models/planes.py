@@ -22,14 +22,14 @@ _STATIC = tuple(ci for ci, cc in enumerate(_COO_COMBS) if 3 not in cc)
 _DYNAMIC = tuple(ci for ci, cc in enumerate(_COO_COMBS) if 3 in cc)
 
 
-def _bilinear_sample_fmajor(plane: jnp.ndarray, u: jnp.ndarray,
-                            v: jnp.ndarray):
-    """Sample plane [F, H, W] at continuous coords (u in [0,1] -> W axis,
-    v in [0,1] -> H axis) with align_corners=True + border clamping —
-    F.grid_sample semantics of ``planes_field.py:55-83``.
+def _bilinear_sample_fmajor(plane_flat: jnp.ndarray, H: int, W: int,
+                            u: jnp.ndarray, v: jnp.ndarray):
+    """Sample a plane stored flat as [F, H*W] at continuous coords
+    (u in [0,1] -> W axis, v in [0,1] -> H axis) with align_corners=True +
+    border clamping — F.grid_sample semantics of ``planes_field.py:55-83``.
 
-    Returns features-major [F, N] (large axis last for TPU tiling)."""
-    F, H, W = plane.shape
+    Planes are stored 2D [F, H*W] (not [F, H, W]) so the TPU (8, 128) tile
+    never pads a small minor axis; returns features-major [F, N]."""
     x = jnp.clip(u, 0.0, 1.0) * (W - 1)
     y = jnp.clip(v, 0.0, 1.0) * (H - 1)
     x0 = jnp.floor(x).astype(jnp.int32)
@@ -38,10 +38,9 @@ def _bilinear_sample_fmajor(plane: jnp.ndarray, u: jnp.ndarray,
     y1 = jnp.minimum(y0 + 1, H - 1)
     wx = x - x0
     wy = y - y0
-    flat = plane.reshape(F, H * W)
 
     def gather(yy, xx):
-        return jnp.take(flat, yy * W + xx, axis=1)  # [F, N]
+        return jnp.take(plane_flat, yy * W + xx, axis=1)  # [F, N]
 
     out = (gather(y0, x0) * ((1 - wx) * (1 - wy))[None]
            + gather(y0, x1) * (wx * (1 - wy))[None]
@@ -52,12 +51,14 @@ def _bilinear_sample_fmajor(plane: jnp.ndarray, u: jnp.ndarray,
 
 # rematerialized: the backward otherwise saves four gathered corner tensors
 # per plane x scale x temporal query as residuals
-_bilinear_remat = jax.checkpoint(_bilinear_sample_fmajor)
+_bilinear_remat = jax.checkpoint(_bilinear_sample_fmajor,
+                                 static_argnums=(1, 2))
 
 
 def bilinear_sample(plane, u, v):
-    """Public [N, F] variant."""
-    return _bilinear_sample_fmajor(plane, u, v).T
+    """Public [N, F] variant; accepts [F, H, W] planes."""
+    F, H, W = plane.shape
+    return _bilinear_sample_fmajor(plane.reshape(F, H * W), H, W, u, v).T
 
 
 @dataclass(frozen=True)
@@ -76,18 +77,25 @@ class Planes4DSpec:
         r = list(self.resolution)
         return [rr * s for rr in r[:3]] + r[3:]  # time res not scaled
 
+    def plane_hw(self, si: int, ci: int):
+        """(H, W) = (res_b, res_a) of plane ci at scale si."""
+        reso = self._scale_resolution(self.multiscale_res[si])
+        a, b = _COO_COMBS[ci]
+        return reso[b], reso[a]
+
     def init(self, key):
-        """Planes stored as [scale][ci] arrays of shape [F, res_b, res_a]
-        for coo_comb (a, b) — time planes init to ones, spatial U(0.1, 0.5)
+        """Planes stored as [scale][ci] arrays of FLAT shape [F, res_b*res_a]
+        for coo_comb (a, b) (2D storage avoids TPU tile padding of small
+        minor axes) — time planes init to ones, spatial U(0.1, 0.5)
         (``planes_field.py:31-52``)."""
         params = []
         keys = jax.random.split(key, len(self.multiscale_res) * 6).reshape(
             len(self.multiscale_res), 6, -1)
-        for si, s in enumerate(self.multiscale_res):
-            reso = self._scale_resolution(s)
+        for si in range(len(self.multiscale_res)):
             scale_planes = []
             for ci, (a, b) in enumerate(_COO_COMBS):
-                shape = (self.output_dim, reso[b], reso[a])
+                H, W = self.plane_hw(si, ci)
+                shape = (self.output_dim, H * W)
                 if 3 in (a, b):
                     p = jnp.ones(shape, jnp.float32)
                 else:
@@ -109,7 +117,9 @@ class Planes4DSpec:
                     continue
                 if sample_only == "dynamic" and not is_dyn:
                     continue
-                f = _bilinear_remat(params[si][ci], pts[:, a], pts[:, b])
+                H, W = self.plane_hw(si, ci)
+                f = _bilinear_remat(params[si][ci], H, W, pts[:, a],
+                                    pts[:, b])
                 if is_dyn:
                     feat_d = f if feat_d is None else feat_d * f
                 else:

@@ -43,10 +43,10 @@ def test_hash_encoding_trilinear_exact_on_dense_level():
     # table value at vertex (i,j,k) = i + 10j + 100k (linear => exact interp)
     ii, jj, kk = np.meshgrid(*([np.arange(res + 1)] * 3), indexing="ij")
     vals = (ii + 10 * jj + 100 * kk).astype(np.float32)
-    table = np.zeros((1, 1, spec.table_size), np.float32)  # [L, F, T]
+    table = np.zeros((1, spec.table_size), np.float32)  # [L*F, T]
     # dense index: x + y*(res+1) + z*(res+1)^2 (row-major over dims)
     flat_idx = ii + jj * (res + 1) + kk * (res + 1) ** 2
-    table[0, 0, flat_idx.reshape(-1)] = vals.reshape(-1)
+    table[0, flat_idx.reshape(-1)] = vals.reshape(-1)
     x = np.array([[0.25, 0.5, 0.75], [0.1, 0.2, 0.3]], np.float32)
     f = spec.apply(jnp.asarray(table), jnp.asarray(x))
     expected = (x[:, 0] * res) + 10 * (x[:, 1] * res) + 100 * (x[:, 2] * res)
