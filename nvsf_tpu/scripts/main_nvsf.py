@@ -144,6 +144,17 @@ def main(argv=None):
                 tb.add_scalars_dict(f"eval_{cat}", {
                     k: (v[0] if isinstance(v, list) else v)
                     for k, v in r.items()}, ep)
+            # best checkpoint keyed to chamfer distance
+            # (``trainer.py:1786-1791``, ``utils.py:650-676``)
+            comb = results.get("combined", {})
+            cd = comb.get("point", [float("inf")])
+            cd = cd[0] if isinstance(cd, list) else cd
+            trainer.stats["results"].append(cd)
+            best = trainer.stats.get("best_result")
+            if cd == cd and (best is None or cd < best):
+                trainer.stats["best_result"] = cd
+                trainer.save_checkpoint(full=False, best=True)
+                log(f"[epoch {ep}] new best CD {cd:.5f} -> best checkpoint")
     # refine + refined eval (``trainer.py:1092-1096``)
     if cfg_run.enable_lidar:
         trainer.refine(steps=cfg_run.refine_steps, log_fn=log)
