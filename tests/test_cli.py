@@ -63,3 +63,16 @@ def test_cli_synthetic_train(tmp_path):
     assert os.path.exists(os.path.join(ws, "log_smoke.txt"))
     val = os.path.join(ws, "validation")
     assert any("error_matrix_combined" in f for f in os.listdir(val))
+
+
+def test_phase_timers():
+    import time as _t
+    from nvsf_tpu.train.profiler import PhaseTimers
+    tm = PhaseTimers()
+    with tm.phase("a"):
+        _t.sleep(0.01)
+    with tm.phase("a"):
+        _t.sleep(0.01)
+    assert tm.counts["a"] == 2
+    assert tm.totals["a"] >= 0.02
+    assert "a" in tm.report()
