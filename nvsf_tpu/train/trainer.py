@@ -146,7 +146,8 @@ class Trainer:
         if cfg.render_mode == "occupancy":
             from nvsf_tpu.ops.occupancy import OccupancyGridSpec
             self.occ_spec = OccupancyGridSpec(
-                grid_size=cfg.occ_grid_size, bound=cfg.bound)
+                grid_size=cfg.occ_grid_size, bound=cfg.bound,
+                update_fraction=cfg.occ_update_fraction)
 
         # ---------------- train state ----------------
         key = jax.random.PRNGKey(seed)
