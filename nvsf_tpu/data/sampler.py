@@ -19,7 +19,12 @@ import jax.numpy as jnp
 
 
 def _gumbel_topk(key, log_weights, k):
-    """Sample k items without replacement ∝ softmax(log_weights)."""
+    """Sample k items ∝ softmax(log_weights) — without replacement via the
+    Gumbel top-k trick when k fits, with replacement (categorical) when k
+    exceeds the support (the reference asserts this can't happen,
+    ``dataset_utils.py:437``; small scenes hit it)."""
+    if k > log_weights.shape[0]:
+        return jax.random.categorical(key, log_weights, shape=(k,))
     g = jax.random.gumbel(key, log_weights.shape, dtype=jnp.float32)
     _, idx = jax.lax.top_k(log_weights + g, k)
     return idx
