@@ -114,3 +114,62 @@ def pano_to_lidar(pano: np.ndarray, lidar_K, lidar_K_hoz) -> np.ndarray:
     pts = pano_to_lidar_with_intensities(
         pano, np.zeros_like(pano), lidar_K, lidar_K_hoz)
     return pts[:, :3]
+
+
+def lidar_to_pano_with_intensities_with_bbox_mask(
+        local_points_with_intensities, bbox_local, lidar_H, lidar_W,
+        lidar_K, lidar_K_hoz, max_depth: float = 80.0):
+    """Projection restricted to points inside an axis-aligned local bbox
+    (``convert.py:10-102`` semantics, used by the NeRF-MVL pipeline).
+
+    bbox_local: (2, 3) [[xmin, ymin, zmin], [xmax, ymax, zmax]].
+    """
+    pts = np.asarray(local_points_with_intensities, np.float64)
+    lo, hi = np.asarray(bbox_local[0]), np.asarray(bbox_local[1])
+    inside = np.all((pts[:, :3] >= lo) & (pts[:, :3] <= hi), axis=1)
+    return lidar_to_pano_with_intensities(
+        pts[inside], lidar_H, lidar_W, lidar_K, lidar_K_hoz, max_depth)
+
+
+def lidar_to_pano_multi_return(local_points_with_intensities, lidar_H,
+                               lidar_W, lidar_K, lidar_K_hoz, n_returns=2,
+                               max_depth: float = 80.0):
+    """Multi-return z-buffer projection (``convert.py:294-402`` semantics):
+    per pixel keep the ``n_returns`` closest returns, sorted near-to-far.
+
+    Returns (pano [R, H, W], intensities [R, H, W]).
+    """
+    pts = np.asarray(local_points_with_intensities, np.float64)
+    local_points = pts[:, :3]
+    intensities = pts[:, 3]
+    fov_up, fov = float(lidar_K[0]), float(lidar_K[1])
+    fov_down = fov - fov_up
+    fov_hoz_up, fov_hoz = float(lidar_K_hoz[0]), float(lidar_K_hoz[1])
+    dists = np.linalg.norm(local_points, axis=1)
+    x, y, z = local_points.T
+    beta = fov_hoz_up * np.pi / 180 - np.arctan2(y, x)
+    alpha = np.arctan2(z, np.sqrt(x ** 2 + y ** 2)) + fov_down / 180 * np.pi
+    c = np.rint(beta / ((fov_hoz * np.pi / 180) / lidar_W)).astype(np.int64)
+    r = np.rint(lidar_H - alpha / (fov / 180 * np.pi / lidar_H)) \
+        .astype(np.int64)
+    valid = ((dists < max_depth) & (r >= 0) & (r < lidar_H)
+             & (c >= 0) & (c < lidar_W))
+    r, c, d, i = r[valid], c[valid], dists[valid], intensities[valid]
+    pix = r * lidar_W + c
+    # sort by (pixel, depth) then take the first n per pixel
+    order = np.lexsort((d, pix))
+    pix, d, i = pix[order], d[order], i[order]
+    first = np.ones(len(pix), bool)
+    first[1:] = pix[1:] != pix[:-1]
+    # rank within pixel group
+    grp_start = np.flatnonzero(first)
+    rank = np.arange(len(pix)) - np.repeat(grp_start,
+                                           np.diff(np.append(grp_start,
+                                                             len(pix))))
+    pano = np.zeros((n_returns, lidar_H, lidar_W))
+    inten = np.zeros((n_returns, lidar_H, lidar_W))
+    for ri in range(n_returns):
+        sel = rank == ri
+        pano.reshape(n_returns, -1)[ri, pix[sel]] = d[sel]
+        inten.reshape(n_returns, -1)[ri, pix[sel]] = i[sel]
+    return pano, inten

@@ -91,3 +91,32 @@ def test_max_depth_filtered():
         pts, H, W, KITTI_K, KITTI_K_HOZ, max_depth=80.0)
     assert (pano > 0).sum() == 1
     np.testing.assert_allclose(pano.max(), 10.0)
+
+
+def test_multi_return_projection():
+    # two points on the same pixel at different depths
+    d1 = convert.pano_direction_grid(H, W, KITTI_K, KITTI_K_HOZ)[30, 100]
+    pts = np.array([
+        list(d1 * 10.0) + [0.3],
+        list(d1 * 25.0) + [0.7],
+        list(d1 * 40.0) + [0.9],
+    ])
+    pano, inten = convert.lidar_to_pano_multi_return(
+        pts, H, W, KITTI_K, KITTI_K_HOZ, n_returns=2)
+    assert pano.shape == (2, H, W)
+    np.testing.assert_allclose(pano[0, 30, 100], 10.0, rtol=1e-6)
+    np.testing.assert_allclose(pano[1, 30, 100], 25.0, rtol=1e-6)
+    np.testing.assert_allclose(inten[0, 30, 100], 0.3)
+    np.testing.assert_allclose(inten[1, 30, 100], 0.7)
+
+
+def test_bbox_masked_projection():
+    pts = _random_cloud(2000, seed=5)
+    bbox = [[-20, -20, -10], [20, 20, 10]]
+    pano_m, _ = convert.lidar_to_pano_with_intensities_with_bbox_mask(
+        pts, bbox, H, W, KITTI_K, KITTI_K_HOZ)
+    pano_f, _ = convert.lidar_to_pano_with_intensities(
+        pts, H, W, KITTI_K, KITTI_K_HOZ)
+    # masked projection only contains near points
+    assert (pano_m > 0).sum() < (pano_f > 0).sum()
+    assert pano_m.max() <= np.sqrt(20**2 + 20**2 + 10**2) + 1e-6
