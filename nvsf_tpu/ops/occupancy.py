@@ -60,10 +60,15 @@ class OccupancyGridSpec:
         u = (ijk + 0.5) / G
         return (u * 2.0 - 1.0) * self.bound
 
-    def update(self, grid, key, density_fn, thresh=0.01):
+    def update(self, grid, key, density_fn, thresh=0.01,
+               query_chunk: int = 32768):
         """EMA-update a random subset of cells with fresh field densities
         (instant-ngp schedule; replaces ``update_extra_state`` of the
-        torch-ngp lineage). density_fn: [M, 3] -> [M] sigma."""
+        torch-ngp lineage). density_fn: [M, 3] -> [M] sigma.
+
+        Queries run in fixed-size chunks under lax.map: the field's density
+        (with its temporal-warp fan-out) over G^3/fraction cells in one shot
+        needs tens of GB of temps — chunking bounds it."""
         G = self.grid_size
         M = self.n_cells // self.update_fraction
         k_cells, k_jit = jax.random.split(key)
@@ -71,7 +76,15 @@ class OccupancyGridSpec:
         pos = self.cell_centers(cells)
         jitter = (jax.random.uniform(k_jit, pos.shape) - 0.5) \
             * (2.0 * self.bound / G)
-        sigma = density_fn(pos + jitter)
+        pts = pos + jitter
+        if M > query_chunk:
+            nc = -(-M // query_chunk)
+            pad = nc * query_chunk - M
+            pts_p = jnp.pad(pts, ((0, pad), (0, 0))) \
+                .reshape(nc, query_chunk, 3)
+            sigma = jax.lax.map(density_fn, pts_p).reshape(-1)[:M]
+        else:
+            sigma = density_fn(pts)
         flat = grid.reshape(-1)
         old = flat[cells]
         new = jnp.maximum(old * self.decay, sigma)
