@@ -92,8 +92,10 @@ def test_occupancy_training_converges(tmp_path):
     assert losses[-1] < 0.7 * losses[0], losses
     # grid evolved away from its init (density refresh is running); actual
     # emptiness takes more epochs than a unit test can afford
+    # with update_fraction=16 and 12 refreshes, ~1-(1-1/16)^12 = 54% of
+    # cells get touched in expectation
     g = np.asarray(tr.state["occ_grid_lidar"])
-    assert (g != 32.0).mean() > 0.5
+    assert (g != 32.0).mean() > 0.3
 
 
 def test_occupancy_matches_dense_when_fully_occupied(tmp_path):
