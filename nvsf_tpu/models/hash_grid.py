@@ -63,62 +63,67 @@ class HashEncodingSpec:
         return self.n_levels * self.n_features_per_level
 
     def init(self, key):
-        # tcnn init: U(-1e-4, 1e-4). Stored as a single 2D array [L*F, T]:
-        # TPU pads the two minor dims to (8, 128) tiles, so params must not
-        # end in tiny axes (storing [L, F=4, T] doubles every copy of the
-        # table — params, EMA, Adam moments — via sublane padding).
+        # tcnn init: U(-1e-4, 1e-4). Stored as a single 2D array
+        # [F, L*T] (features x concatenated per-level tables):
+        #  - 2D with a huge trailing axis => no TPU (8, 128) tile padding on
+        #    any param/EMA/Adam copy;
+        #  - all L levels' lookups become ONE gather along the column axis
+        #    (a per-level loop/scan is latency-bound: 8 sequential small
+        #    gathers ran ~10x slower end-to-end).
         return jax.random.uniform(
             key,
-            (self.n_levels * self.n_features_per_level, self.table_size),
+            (self.n_features_per_level, self.n_levels * self.table_size),
             jnp.float32, -1e-4, 1e-4)
 
     # ------------------------------------------------------------------
-    def _level_features(self, table_l, x, res, is_dense, offs):
-        """One level's gather + D-linear lerp; res/is_dense may be traced
-        (uniform body for lax.scan over levels).
-
-        table_l: [F, T] feature-major; returns [F, N] — every large tensor
-        keeps its big axis last so TPU (8, 128) tiling doesn't pad it away.
-        """
+    def _all_level_features(self, table, x, offs, res_arr, dense_arr,
+                            level_offs):
+        """All levels in one shot: vectorized index math over [N, L, 2^D]
+        and a SINGLE gather from the [F, L*T] table. Returns [N, L*F]."""
         D = self.dim
+        L = self.n_levels
         T = self.table_size
         n_corners = 1 << D
         N = x.shape[0]
-        pos = x.astype(jnp.float32) * res  # instant-ngp: scale by res
+        pos = x.astype(jnp.float32)[:, None, :] \
+            * res_arr[None, :, None].astype(jnp.float32)     # [N, L, D]
         c0 = jnp.floor(pos)
-        w = pos - c0  # [N, D]
+        w = pos - c0                                          # [N, L, D]
         c0 = c0.astype(jnp.int32)
-        corners = jnp.clip(c0[:, None, :] + offs[None, :, :], 0, res)
+        corners = jnp.clip(c0[:, :, None, :] + offs[None, None, :, :],
+                           0, res_arr[None, :, None, None])   # [N, L, C, D]
         # dense index (row-major over (res+1)^D)
         idx_dense = corners[..., 0]
-        stride = 1
+        stride = jnp.ones_like(res_arr)
         for d in range(1, D):
-            stride = stride * (res + 1)
-            idx_dense = idx_dense + corners[..., d] * stride
+            stride = stride * (res_arr + 1)
+            idx_dense = idx_dense + corners[..., d] \
+                * stride[None, :, None]
         # spatial hash (instant-ngp)
         h = corners[..., 0].astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
         for d in range(1, D):
             h = h ^ (corners[..., d].astype(jnp.uint32)
                      * jnp.uint32(_PRIMES[d]))
         idx_hash = (h & jnp.uint32(T - 1)).astype(jnp.int32)
-        idx = jnp.where(is_dense, idx_dense, idx_hash)  # [N, 2^D]
-        vals = jnp.take(table_l, idx.reshape(-1), axis=1)  # [F, N*2^D]
-        vals = vals.reshape(-1, N, n_corners)              # [F, N, 2^D]
-        wc = jnp.ones((N, n_corners), jnp.float32)
+        idx = jnp.where(dense_arr[None, :, None], idx_dense, idx_hash)
+        cols = idx + level_offs[None, :, None]                # [N, L, C]
+        vals = jnp.take(table, cols.reshape(-1), axis=1)      # [F, N*L*C]
+        vals = vals.reshape(-1, N, L, n_corners)              # [F, N, L, C]
+        wc = jnp.ones((N, L, n_corners), jnp.float32)
         for d in range(D):
-            wd = jnp.where(offs[None, :, d] == 1, w[:, d:d + 1],
-                           1.0 - w[:, d:d + 1])
+            wd = jnp.where(offs[None, None, :, d] == 1,
+                           w[:, :, d:d + 1], 1.0 - w[:, :, d:d + 1])
             wc = wc * wd
-        return jnp.sum(vals * wc[None], axis=-1)  # [F, N]
+        feat = jnp.sum(vals * wc[None], axis=-1)              # [F, N, L]
+        return jnp.transpose(feat, (1, 2, 0)).reshape(N, L
+                                                      * feat.shape[0])
 
     def apply(self, table: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-        """x: [N, D] in [0, 1] -> [N, L * F] features.
+        """x: [N, D] in [0, 1] -> [N, L * F] features (level-major order,
+        matching tcnn's concatenation).
 
-        Levels run under lax.scan with a uniform, rematerialized body:
-        unrolling 8 levels across the field's 2 branches x 3 temporal
-        queries dominates XLA compile time, and without remat the backward
-        would save every level's gathered corners as residuals (tens of GB
-        at 2048 rays x 768 samples)."""
+        The gather body is rematerialized: without it the backward saves
+        every gathered corner as a residual (GBs at full ray batches)."""
         D = self.dim
         offs = np.stack(np.meshgrid(*([np.arange(2)] * D), indexing="ij"),
                         axis=-1).reshape(-1, D)
@@ -126,22 +131,12 @@ class HashEncodingSpec:
         res_arr = jnp.asarray(self.resolutions, jnp.int32)
         dense_arr = jnp.asarray(
             [(r + 1) ** D <= self.table_size for r in self.resolutions])
-
-        table = table.reshape(self.n_levels, self.n_features_per_level,
-                              self.table_size)
-        level_fn = jax.checkpoint(
-            lambda tbl_l, res, dense: self._level_features(tbl_l, x, res,
-                                                           dense, offs))
-        if self.n_levels == 1:
-            feats = level_fn(table[0], res_arr[0], dense_arr[0])[None]
-        else:
-            def body(_, inp):
-                tbl_l, res, dense = inp
-                return None, level_fn(tbl_l, res, dense)
-
-            _, feats = jax.lax.scan(body, None, (table, res_arr, dense_arr))
-        # [L, F, N] -> [N, L*F]
-        return jnp.transpose(feats.reshape(self.n_output_dims, -1))
+        level_offs = jnp.arange(self.n_levels, dtype=jnp.int32) \
+            * self.table_size
+        fn = jax.checkpoint(
+            lambda tbl, xx: self._all_level_features(
+                tbl, xx, offs, res_arr, dense_arr, level_offs))
+        return fn(table, x)
 
 
 def lagrange_interp_features(x: jnp.ndarray, t, n_levels: int,
