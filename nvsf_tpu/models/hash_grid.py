@@ -107,16 +107,21 @@ class HashEncodingSpec:
         idx_hash = (h & jnp.uint32(T - 1)).astype(jnp.int32)
         idx = jnp.where(dense_arr[None, :, None], idx_dense, idx_hash)
         cols = idx + level_offs[None, :, None]                # [N, L, C]
-        vals = jnp.take(table, cols.reshape(-1), axis=1)      # [F, N*L*C]
-        vals = vals.reshape(-1, N, L, n_corners)              # [F, N, L, C]
-        wc = jnp.ones((N, L, n_corners), jnp.float32)
+        # every large intermediate keeps the big N axis LAST: TPU (8, 128)
+        # tiling would otherwise pad trailing (L, C) dims 32x
+        cols_t = jnp.transpose(cols, (1, 2, 0)).reshape(-1)   # [L*C*N]
+        vals = jnp.take(table, cols_t, axis=1)                # [F, L*C*N]
+        F = vals.shape[0]
+        vals = vals.reshape(F, L, n_corners, N)               # [F, L, C, N]
+        wc = jnp.ones((L, n_corners, N), jnp.float32)
+        wt = jnp.transpose(w, (1, 2, 0))                      # [L, D, N]
         for d in range(D):
-            wd = jnp.where(offs[None, None, :, d] == 1,
-                           w[:, :, d:d + 1], 1.0 - w[:, :, d:d + 1])
+            wd = jnp.where(offs[None, :, d:d + 1] == 1,
+                           wt[:, None, d, :], 1.0 - wt[:, None, d, :])
             wc = wc * wd
-        feat = jnp.sum(vals * wc[None], axis=-1)              # [F, N, L]
-        return jnp.transpose(feat, (1, 2, 0)).reshape(N, L
-                                                      * feat.shape[0])
+        feat = jnp.sum(vals * wc[None], axis=2)               # [F, L, N]
+        # -> [N, L*F] with level-major ordering (out[n, l*F + f])
+        return jnp.transpose(feat, (2, 1, 0)).reshape(N, L * F)
 
     def apply(self, table: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         """x: [N, D] in [0, 1] -> [N, L * F] features (level-major order,
