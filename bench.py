@@ -33,7 +33,8 @@ V100_BASELINE_RAYS_PER_SEC = 20_000.0
 # reference's 8x4) halves the hash lookups — measured 2.2x faster on v5e,
 # where random HBM gathers (~105-150M lookups/s) bound the whole model.
 _TPU_ENC = dict(n_levels_hash=4, n_features_per_level_hash=8,
-                flow_n_levels=8, flow_n_features_per_level=16)
+                flow_n_levels=8, flow_n_features_per_level=16,
+                encoder_remat=False)  # HBM fits at K<=128; skip re-gathers
 
 LADDER = [
     dict(tag="2048rays-K128", num_rays_lidar=2048, num_steps_occ=128,

@@ -68,6 +68,7 @@ class NVSFFieldSpec:
     flow_base_resolution: int = 32
     flow_max_resolution: int = 8192
     flow_log2_hashmap_size: int = 18
+    encoder_remat: bool = True   # remat gather bodies (off: faster, more HBM)
     num_layers_sigma: int = 2
     hidden_dim_sigma: int = 64
     geo_feat_dim: int = 15
@@ -97,7 +98,8 @@ class NVSFFieldSpec:
             time_resolution=self.time_resolution,
             n_levels=self.n_levels_hash,
             n_features_per_level=self.n_features_per_level_hash,
-            log2_hashmap_size=self.log2_hashmap_size)
+            log2_hashmap_size=self.log2_hashmap_size,
+            remat_gather=self.encoder_remat)
 
     @property
     def flow_spec(self) -> FlowFieldSpec:
@@ -107,7 +109,8 @@ class NVSFFieldSpec:
                              n_features_per_level=self.flow_n_features_per_level,
                              base_resolution=self.flow_base_resolution,
                              max_resolution=self.flow_max_resolution,
-                             log2_hashmap_size=self.flow_log2_hashmap_size)
+                             log2_hashmap_size=self.flow_log2_hashmap_size,
+                             remat_gather=self.encoder_remat)
 
     @property
     def feature_dim(self) -> int:

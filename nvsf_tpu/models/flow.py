@@ -22,6 +22,7 @@ class FlowFieldSpec:
     base_resolution: int = 32
     max_resolution: int = 8192
     log2_hashmap_size: int = 18
+    remat_gather: bool = True
 
     @property
     def grid(self) -> HashEncodingSpec:
@@ -30,7 +31,8 @@ class FlowFieldSpec:
             n_features_per_level=self.n_features_per_level,
             log2_hashmap_size=self.log2_hashmap_size,
             base_resolution=self.base_resolution,
-            max_resolution=self.max_resolution)
+            max_resolution=self.max_resolution,
+            remat_gather=self.remat_gather)
 
     @property
     def input_dim(self) -> int:

@@ -8,13 +8,19 @@ Replaces the reference's external tiny-cuda-nn ``HashGrid`` encodings:
     (``flow_field.py:68-84,105-114``)
 
 Design notes (TPU-first):
-  - Tables are stacked per level: [L, T, F]. Levels whose dense grid fits in
-    T entries are dense-indexed; finer levels use the instant-ngp spatial
-    hash. Gathers use jnp.take, which XLA lowers to efficient dynamic-gather;
-    a fused Pallas kernel lives in ``nvsf_tpu/ops/hash_encoding_pallas.py``
-    for the hot path and must stay numerically equivalent to this module.
-  - The level loop is unrolled in Python (static L), so XLA sees one big
-    fused gather+lerp graph.
+  - Tables are stored as single 2D arrays [F, L*T] (features x concatenated
+    per-level tables): clean 2D params avoid TPU (8, 128) tile padding on
+    every param/EMA/Adam copy, and ALL levels' lookups become one fused
+    gather. Levels whose dense grid fits in T entries are dense-indexed;
+    finer levels use the instant-ngp spatial hash.
+  - Gathers use jnp.take (XLA dynamic-gather). A Pallas gather kernel was
+    evaluated and rejected: Mosaic on this stack does not lower vector
+    gathers from VMEM (see ``nvsf_tpu/ops/chamfer_pallas.py``). Measured
+    v5e ceilings: ~105-150M gathers/s, ~12-16M backward scatter-adds/s —
+    the lookup count, not the op count, is what matters (see VALIDATION.md).
+  - ``remat_gather`` recomputes the gather body in the backward instead of
+    saving per-corner residuals; disable it when HBM allows (occupancy-mode
+    batches) to skip the re-gather.
 """
 
 from __future__ import annotations
@@ -48,6 +54,7 @@ class HashEncodingSpec:
     log2_hashmap_size: int = 19
     base_resolution: int = 512
     max_resolution: int = 32768
+    remat_gather: bool = True   # rematerialize the gather body in backward
 
     @property
     def table_size(self) -> int:
@@ -138,9 +145,10 @@ class HashEncodingSpec:
             [(r + 1) ** D <= self.table_size for r in self.resolutions])
         level_offs = jnp.arange(self.n_levels, dtype=jnp.int32) \
             * self.table_size
-        fn = jax.checkpoint(
-            lambda tbl, xx: self._all_level_features(
-                tbl, xx, offs, res_arr, dense_arr, level_offs))
+        fn = lambda tbl, xx: self._all_level_features(
+            tbl, xx, offs, res_arr, dense_arr, level_offs)
+        if self.remat_gather:
+            fn = jax.checkpoint(fn)
         return fn(table, x)
 
 
@@ -183,6 +191,7 @@ class HashGridTSpec:
     n_features_per_level: int = 4
     log2_hashmap_size: int = 14
     num_basis: int = 4
+    remat_gather: bool = True
 
     @property
     def grid(self) -> HashEncodingSpec:
@@ -191,7 +200,8 @@ class HashGridTSpec:
             n_features_per_level=self.n_features_per_level,
             log2_hashmap_size=self.log2_hashmap_size,
             base_resolution=self.base_resolution,
-            max_resolution=self.max_resolution)
+            max_resolution=self.max_resolution,
+            remat_gather=self.remat_gather)
 
     @property
     def n_output_dims(self) -> int:
@@ -229,6 +239,7 @@ class HashGrid4DSpec:
     n_features_per_level: int = 4
     log2_hashmap_size: int = 19
     hash_size_dynamic: Tuple[int, int, int] = (15, 13, 13)  # larger for xy
+    remat_gather: bool = True
 
     @property
     def static_grid(self) -> HashEncodingSpec:
@@ -237,7 +248,8 @@ class HashGrid4DSpec:
             n_features_per_level=self.n_features_per_level,
             log2_hashmap_size=self.log2_hashmap_size,
             base_resolution=self.base_resolution,
-            max_resolution=self.max_resolution)
+            max_resolution=self.max_resolution,
+            remat_gather=self.remat_gather)
 
     def dynamic_grid(self, i: int) -> HashGridTSpec:
         return HashGridTSpec(
@@ -246,7 +258,8 @@ class HashGrid4DSpec:
             max_resolution=self.max_resolution,
             n_levels=self.n_levels,
             n_features_per_level=self.n_features_per_level,
-            log2_hashmap_size=self.hash_size_dynamic[i])
+            log2_hashmap_size=self.hash_size_dynamic[i],
+            remat_gather=self.remat_gather)
 
     @property
     def n_output_dims_static(self) -> int:

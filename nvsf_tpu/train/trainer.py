@@ -66,7 +66,8 @@ def field_spec_from_config(cfg: NVSFConfig) -> NVSFFieldSpec:
         hidden_dim_lidar=cfg.hidden_dim_lidar,
         num_layers_color=cfg.num_layers_color,
         num_frames=cfg.num_frames,
-        bound=cfg.bound)
+        bound=cfg.bound,
+        encoder_remat=cfg.encoder_remat)
 
 
 def renderer_spec_from_config(cfg: NVSFConfig,
