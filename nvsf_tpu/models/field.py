@@ -213,16 +213,15 @@ class NVSFFieldSpec:
         has_prev = frame_idx > 0
 
         # the t-query carries gradients; the two warp queries are computed
-        # under a single stop_gradient OUTSIDE the vmap so XLA traces NO
-        # backward for them at all (a batched query that merely stop-grads
-        # slices still pays the full scatter-add backward for every slice)
+        # under a single stop_gradient so XLA traces NO backward for them at
+        # all (the reference's no_grad hash re-queries,
+        # ``network_dynamic.py:245-271``), and both are fused into ONE
+        # gather via apply_dynamic_pair.
         hash_d = hspec.apply_dynamic(hash_p, xn, t)
-        xs12 = jnp.stack([x1, x2])                     # [2, N, 3]
-        ts12 = jnp.stack([t1, t2])
-        hash_12 = jax.lax.stop_gradient(jax.vmap(
-            lambda xx, tt: hspec.apply_dynamic(
-                jax.lax.stop_gradient(hash_p), jax.lax.stop_gradient(xx),
-                tt))(xs12, ts12))
+        hash_12 = jax.lax.stop_gradient(hspec.apply_dynamic_pair(
+            jax.lax.stop_gradient(hash_p),
+            jax.lax.stop_gradient(jnp.stack([x1, x2])),
+            jnp.stack([t1, t2])))
         hash_1, hash_2 = hash_12[0], hash_12[1]
 
         ts3 = jnp.stack([t, t1, t2])
@@ -231,9 +230,9 @@ class NVSFFieldSpec:
         xts = jnp.concatenate([xs, tcols], axis=-1)    # [3, N, 4]
         plane_s = pspec.apply_static(plane_p, xt)
         # all three plane queries need grads (the flow net learns through
-        # the warped K-planes, ``network_dynamic.py:245-271``)
-        plane_d3 = jax.vmap(
-            lambda xx: pspec.apply_dynamic(plane_p, xx))(xts)
+        # the warped K-planes, ``network_dynamic.py:245-271``); they share
+        # one fused gather + one backward segment-sum
+        plane_d3 = pspec.apply_dynamic_multi(plane_p, xts)
         plane_d, plane_1, plane_2 = plane_d3[0], plane_d3[1], plane_d3[2]
 
         hash_1 = jnp.where(has_next, hash_1, hash_d)

@@ -8,7 +8,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from nvsf_tpu.models.hash_grid import HashEncodingSpec, lagrange_interp_features
+from nvsf_tpu.models.hash_grid import HashEncodingSpec, lagrange_fold_table
 from nvsf_tpu.models.mlp import MLPSpec
 
 
@@ -50,10 +50,15 @@ class FlowFieldSpec:
         return {"grid": self.grid.init(kg), "mlp": self.mlp.init(km)}
 
     def apply(self, params, xt, compute_dtype=jnp.float32):
-        """xt: [N, 4] in [0,1] (xyz + shared scalar t) -> flow [N, 6]."""
+        """xt: [N, 4] in [0,1] (xyz + shared scalar t) -> flow [N, 6].
+
+        The temporal Lagrange blend (``flow_field.py:105-114``) has scalar
+        t-dependent coefficients, so it is folded INTO the table before the
+        gather (``hash_grid.lagrange_fold_table``): each corner fetches
+        F/num_basis features instead of F, and the backward segment-sum
+        shrinks by the same factor."""
         x = xt[:, :3]
         t = xt[0, 3]
-        h = self.grid.apply(params["grid"], x).astype(jnp.float32)
-        h = lagrange_interp_features(h, t, self.n_levels,
-                                     self.n_features_per_level, self.num_basis)
+        folded = lagrange_fold_table(params["grid"], t, self.num_basis)
+        h = self.grid.apply(folded, x).astype(jnp.float32)
         return self.mlp.apply(params["mlp"], h, compute_dtype).astype(jnp.float32)

@@ -13,25 +13,34 @@ Design notes (TPU-first):
     every param/EMA/Adam copy, and ALL levels' lookups become one fused
     gather. Levels whose dense grid fits in T entries are dense-indexed;
     finer levels use the instant-ngp spatial hash.
-  - Gathers use jnp.take (XLA dynamic-gather). A Pallas gather kernel was
-    evaluated and rejected: Mosaic on this stack does not lower vector
-    gathers from VMEM (see ``nvsf_tpu/ops/chamfer_pallas.py``). Measured
-    v5e ceilings: ~105-150M gathers/s, ~12-16M backward scatter-adds/s —
-    the lookup count, not the op count, is what matters (see VALIDATION.md).
-  - ``remat_gather`` recomputes the gather body in the backward instead of
-    saving per-corner residuals; disable it when HBM allows (occupancy-mode
-    batches) to skip the re-gather.
+  - Gathers go through ``nvsf_tpu.ops.gather.table_gather``: forward is the
+    XLA dynamic-gather (row-count bound, ~200M rows/s on v5e); backward is
+    the scatter-free sort + MXU one-hot-matmul segment sum
+    (``nvsf_tpu/ops/segsum.py``, ~4.6x over XLA scatter-add).
+  - TIME FOLDING: within one training/render step the query time t is a
+    SCALAR, and everything the reference does after the lookup — the
+    adjacent-time-bin lerp of ``HashGridT.forward`` and the Lagrange
+    feature-basis blend of ``interpT`` (``hash_field.py:56-88``) — is a
+    LINEAR map with t-dependent scalar coefficients. Both are folded into
+    the table BEFORE the gather (a dense table-sized contraction, ~free),
+    so each sample gathers ONE row of F/num_basis features instead of two
+    rows of F: half the forward rows, quarter the backward sort payload.
+  - The three dynamic planes (xyt/xzt/yzt) and, in the pair variant, both
+    temporal warp queries are concatenated into a single gather / single
+    backward segment-sum.
 """
 
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from nvsf_tpu.ops.gather import table_gather
 
 _PRIMES = (1, 2654435761, 805459861, 3674653429)
 
@@ -45,6 +54,50 @@ def level_resolutions(base_resolution: int, max_resolution: int, n_levels: int):
     return [int(math.floor(base_resolution * (s ** l))) for l in range(n_levels)]
 
 
+def lagrange_basis(t, num_basis: int):
+    """Lagrange basis weights at normalized time t over nodes
+    linspace(0, 1, num_basis) (``hash_field.py:65-74``)."""
+    nodes = [i / (num_basis - 1) for i in range(num_basis)]
+    t = jnp.asarray(t, jnp.float32)
+    out = []
+    for j in range(num_basis):
+        basis = jnp.float32(1.0)
+        for m in range(num_basis):
+            if m != j:
+                basis = basis * (t - nodes[m]) / (nodes[j] - nodes[m])
+        out.append(basis)
+    return jnp.stack(out)  # [num_basis]
+
+
+def lagrange_fold_table(table: jnp.ndarray, t, num_basis: int) -> jnp.ndarray:
+    """Fold the Lagrange feature-basis blend into the table rows.
+
+    table: [F, C] with rows grouped in ``num_basis`` chunks of F/num_basis
+    -> [F/num_basis, C]. Gathering a row of the folded table equals
+    gathering all F features and applying ``interpT``'s basis blend.
+    """
+    F, C = table.shape
+    basis = lagrange_basis(t, num_basis)
+    tb = table.reshape(num_basis, F // num_basis, C)
+    return jnp.tensordot(basis, tb, axes=1)  # [F/num_basis, C]
+
+
+def lagrange_interp_features(x: jnp.ndarray, t, n_levels: int,
+                             n_features_per_level: int,
+                             num_basis: int = 4) -> jnp.ndarray:
+    """Post-gather variant of the Lagrange blend (``hash_field.py:65-74``),
+    kept for tests/reference: view features as [N, L, F], chunk F into
+    ``num_basis`` groups, blend with the basis. Output dim = L * F / B."""
+    N = x.shape[0]
+    F = n_features_per_level
+    B = num_basis
+    xv = x.reshape(N, n_levels, F)
+    basis = lagrange_basis(t, B)
+    chunks = jnp.split(xv, B, axis=-1)
+    out = sum(basis[j] * chunks[j] for j in range(B))
+    return out.reshape(N, n_levels * F // B)
+
+
 @dataclass(frozen=True)
 class HashEncodingSpec:
     """One multi-resolution hash encoding over D-dim inputs in [0, 1]^D."""
@@ -54,7 +107,8 @@ class HashEncodingSpec:
     log2_hashmap_size: int = 19
     base_resolution: int = 512
     max_resolution: int = 32768
-    remat_gather: bool = True   # rematerialize the gather body in backward
+    remat_gather: bool = False  # kept for config compat; gather residuals
+                                # are just int32 cols now, so remat is moot
 
     @property
     def table_size(self) -> int:
@@ -69,29 +123,41 @@ class HashEncodingSpec:
     def n_output_dims(self) -> int:
         return self.n_levels * self.n_features_per_level
 
+    @property
+    def n_cols(self) -> int:
+        """Total table columns (all levels concatenated)."""
+        return self.n_levels * self.table_size
+
     def init(self, key):
-        # tcnn init: U(-1e-4, 1e-4). Stored as a single 2D array
-        # [F, L*T] (features x concatenated per-level tables):
-        #  - 2D with a huge trailing axis => no TPU (8, 128) tile padding on
-        #    any param/EMA/Adam copy;
-        #  - all L levels' lookups become ONE gather along the column axis
-        #    (a per-level loop/scan is latency-bound: 8 sequential small
-        #    gathers ran ~10x slower end-to-end).
+        # tcnn init: U(-1e-4, 1e-4). Stored [F, L*T]: no TPU (8, 128) tile
+        # padding on param/EMA/Adam copies, and all levels' lookups are one
+        # gather along the column axis.
         return jax.random.uniform(
             key,
             (self.n_features_per_level, self.n_levels * self.table_size),
             jnp.float32, -1e-4, 1e-4)
 
     # ------------------------------------------------------------------
-    def _all_level_features(self, table, x, offs, res_arr, dense_arr,
-                            level_offs):
-        """All levels in one shot: vectorized index math over [N, L, 2^D]
-        and a SINGLE gather from the [F, L*T] table. Returns [N, L*F]."""
+    def level_cols_weights(self, x: jnp.ndarray):
+        """Index math shared by all gather paths.
+
+        x: [N, D] in [0, 1] -> (cols [L*C*N] int32 global column ids,
+        wc [L, C, N] trilinear corner weights). Large intermediates keep N
+        LAST so TPU (8, 128) tiling never pads the small (L, C) dims.
+        """
         D = self.dim
         L = self.n_levels
         T = self.table_size
         n_corners = 1 << D
         N = x.shape[0]
+        offs = np.stack(np.meshgrid(*([np.arange(2)] * D), indexing="ij"),
+                        axis=-1).reshape(-1, D)
+        offs = jnp.asarray(offs, dtype=jnp.int32)
+        res_arr = jnp.asarray(self.resolutions, jnp.int32)
+        dense_arr = jnp.asarray(
+            [(r + 1) ** D <= T for r in self.resolutions])
+        level_offs = jnp.arange(L, dtype=jnp.int32) * T
+
         pos = x.astype(jnp.float32)[:, None, :] \
             * res_arr[None, :, None].astype(jnp.float32)     # [N, L, D]
         c0 = jnp.floor(pos)
@@ -99,14 +165,11 @@ class HashEncodingSpec:
         c0 = c0.astype(jnp.int32)
         corners = jnp.clip(c0[:, :, None, :] + offs[None, None, :, :],
                            0, res_arr[None, :, None, None])   # [N, L, C, D]
-        # dense index (row-major over (res+1)^D)
         idx_dense = corners[..., 0]
         stride = jnp.ones_like(res_arr)
         for d in range(1, D):
             stride = stride * (res_arr + 1)
-            idx_dense = idx_dense + corners[..., d] \
-                * stride[None, :, None]
-        # spatial hash (instant-ngp)
+            idx_dense = idx_dense + corners[..., d] * stride[None, :, None]
         h = corners[..., 0].astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
         for d in range(1, D):
             h = h ^ (corners[..., d].astype(jnp.uint32)
@@ -114,76 +177,44 @@ class HashEncodingSpec:
         idx_hash = (h & jnp.uint32(T - 1)).astype(jnp.int32)
         idx = jnp.where(dense_arr[None, :, None], idx_dense, idx_hash)
         cols = idx + level_offs[None, :, None]                # [N, L, C]
-        # every large intermediate keeps the big N axis LAST: TPU (8, 128)
-        # tiling would otherwise pad trailing (L, C) dims 32x
-        cols_t = jnp.transpose(cols, (1, 2, 0)).reshape(-1)   # [L*C*N]
-        vals = jnp.take(table, cols_t, axis=1)                # [F, L*C*N]
-        F = vals.shape[0]
-        vals = vals.reshape(F, L, n_corners, N)               # [F, L, C, N]
+        cols = jnp.transpose(cols, (1, 2, 0)).reshape(-1)     # [L*C*N]
+
         wc = jnp.ones((L, n_corners, N), jnp.float32)
         wt = jnp.transpose(w, (1, 2, 0))                      # [L, D, N]
         for d in range(D):
             wd = jnp.where(offs[None, :, d:d + 1] == 1,
                            wt[:, None, d, :], 1.0 - wt[:, None, d, :])
             wc = wc * wd
-        feat = jnp.sum(vals * wc[None], axis=2)               # [F, L, N]
-        # -> [N, L*F] with level-major ordering (out[n, l*F + f])
-        return jnp.transpose(feat, (2, 1, 0)).reshape(N, L * F)
+        return cols, wc
+
+    def interp(self, table: jnp.ndarray, cols: jnp.ndarray,
+               wc: jnp.ndarray) -> jnp.ndarray:
+        """Gather + corner-weight reduce. table [F', cols_total] (F' may be
+        a folded feature count); returns [N, L*F'] level-major."""
+        L, C, N = wc.shape
+        vals = table_gather(table, cols)                      # [F', L*C*N]
+        Fp = vals.shape[0]
+        vals = vals.reshape(Fp, L, C, N)
+        feat = jnp.sum(vals * wc[None], axis=2)               # [F', L, N]
+        return jnp.transpose(feat, (2, 1, 0)).reshape(N, L * Fp)
 
     def apply(self, table: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         """x: [N, D] in [0, 1] -> [N, L * F] features (level-major order,
-        matching tcnn's concatenation).
-
-        The gather body is rematerialized: without it the backward saves
-        every gathered corner as a residual (GBs at full ray batches)."""
-        D = self.dim
-        offs = np.stack(np.meshgrid(*([np.arange(2)] * D), indexing="ij"),
-                        axis=-1).reshape(-1, D)
-        offs = jnp.asarray(offs, dtype=jnp.int32)
-        res_arr = jnp.asarray(self.resolutions, jnp.int32)
-        dense_arr = jnp.asarray(
-            [(r + 1) ** D <= self.table_size for r in self.resolutions])
-        level_offs = jnp.arange(self.n_levels, dtype=jnp.int32) \
-            * self.table_size
-        fn = lambda tbl, xx: self._all_level_features(
-            tbl, xx, offs, res_arr, dense_arr, level_offs)
-        if self.remat_gather:
-            fn = jax.checkpoint(fn)
-        return fn(table, x)
-
-
-def lagrange_interp_features(x: jnp.ndarray, t, n_levels: int,
-                             n_features_per_level: int,
-                             num_basis: int = 4) -> jnp.ndarray:
-    """Temporal Lagrange-basis interpolation in the feature dimension.
-
-    Mirrors ``HashGridT.interpT`` / ``FlowField.interpT``
-    (``hash_field.py:65-74``, ``flow_field.py:105-114``): view features as
-    [N, L, F], chunk F into ``num_basis`` groups, and blend the groups with
-    the Lagrange basis at normalized time t over nodes T = linspace(0, 1, B).
-    Output dim = L * F / B.
-    """
-    N = x.shape[0]
-    F = n_features_per_level
-    B = num_basis
-    xv = x.reshape(N, n_levels, F)
-    chunks = jnp.split(xv, B, axis=-1)  # B x [N, L, F/B]
-    nodes = [i / (B - 1) for i in range(B)]
-    t = jnp.asarray(t, jnp.float32)
-    out = 0.0
-    for j in range(B):
-        basis = 1.0
-        for m in range(B):
-            if m != j:
-                basis = basis * (t - nodes[m]) / (nodes[j] - nodes[m])
-        out = out + basis * chunks[j]
-    return out.reshape(N, n_levels * F // B)
+        matching tcnn's concatenation)."""
+        cols, wc = self.level_cols_weights(x)
+        return self.interp(table, cols, wc)
 
 
 @dataclass(frozen=True)
 class HashGridTSpec:
     """Time-binned 2D hash grids with linear interp across adjacent bins
-    plus Lagrange feature-basis interp (``hash_field.py:29-88``)."""
+    plus Lagrange feature-basis interp (``hash_field.py:29-88``).
+
+    TPU redesign: t is scalar per query batch, so the bin lerp AND the
+    Lagrange blend are folded into one [F/B, L*T] table before the gather
+    (see module docstring) — one narrow row per corner instead of two wide
+    ones, and a 4x narrower backward segment-sum.
+    """
     time_resolution: int = 8
     base_resolution: int = 512
     max_resolution: int = 32768
@@ -191,7 +222,7 @@ class HashGridTSpec:
     n_features_per_level: int = 4
     log2_hashmap_size: int = 14
     num_basis: int = 4
-    remat_gather: bool = True
+    remat_gather: bool = False
 
     @property
     def grid(self) -> HashEncodingSpec:
@@ -209,23 +240,25 @@ class HashGridTSpec:
 
     def init(self, key):
         keys = jax.random.split(key, self.time_resolution)
-        return jnp.stack([self.grid.init(k) for k in keys])  # [TR, L, T, F]
+        return jnp.stack([self.grid.init(k) for k in keys])  # [TR, F, L*T]
 
-    def apply(self, tables: jnp.ndarray, x: jnp.ndarray, t) -> jnp.ndarray:
-        """x: [N, 2] in [0,1]; t: scalar in [0,1] -> [N, n_output_dims]."""
+    def folded_table(self, tables: jnp.ndarray, t) -> jnp.ndarray:
+        """Blend adjacent time bins (``hash_field.py:76-88``) and fold the
+        Lagrange basis: [TR, F, L*T] -> [F/B, L*T] for scalar t."""
         t = jnp.asarray(t, jnp.float32).reshape(())
         idx = t * (self.time_resolution - 1)
         i1 = jnp.floor(idx).astype(jnp.int32)
         i2 = jnp.minimum(i1 + 1, self.time_resolution - 1)
         w2 = idx - i1.astype(jnp.float32)
-        # one vmapped encoder over the two adjacent time bins (graph size)
-        tables2 = jnp.stack([
-            jax.lax.dynamic_index_in_dim(tables, i1, 0, keepdims=False),
-            jax.lax.dynamic_index_in_dim(tables, i2, 0, keepdims=False)])
-        f12 = jax.vmap(self.grid.apply, in_axes=(0, None))(tables2, x)
-        feat = (1.0 - w2) * f12[0] + w2 * f12[1]
-        return lagrange_interp_features(
-            feat, t, self.n_levels, self.n_features_per_level, self.num_basis)
+        t1 = jax.lax.dynamic_index_in_dim(tables, i1, 0, keepdims=False)
+        t2 = jax.lax.dynamic_index_in_dim(tables, i2, 0, keepdims=False)
+        blended = (1.0 - w2) * t1 + w2 * t2                   # [F, L*T]
+        return lagrange_fold_table(blended, t, self.num_basis)
+
+    def apply(self, tables: jnp.ndarray, x: jnp.ndarray, t) -> jnp.ndarray:
+        """x: [N, 2] in [0,1]; t: scalar in [0,1] -> [N, n_output_dims]."""
+        folded = self.folded_table(tables, t)
+        return self.grid.apply(folded, x)
 
 
 @dataclass(frozen=True)
@@ -239,7 +272,7 @@ class HashGrid4DSpec:
     n_features_per_level: int = 4
     log2_hashmap_size: int = 19
     hash_size_dynamic: Tuple[int, int, int] = (15, 13, 13)  # larger for xy
-    remat_gather: bool = True
+    remat_gather: bool = False
 
     @property
     def static_grid(self) -> HashEncodingSpec:
@@ -261,6 +294,9 @@ class HashGrid4DSpec:
             log2_hashmap_size=self.hash_size_dynamic[i],
             remat_gather=self.remat_gather)
 
+    _PLANE_KEYS = ("dyn_xyt", "dyn_xzt", "dyn_yzt")
+    _PLANE_AXES = ((0, 1), (0, 2), (1, 2))
+
     @property
     def n_output_dims_static(self) -> int:
         return self.static_grid.n_output_dims  # 32
@@ -281,14 +317,56 @@ class HashGrid4DSpec:
     def apply_static(self, params, x):
         return self.static_grid.apply(params["static"], x)
 
+    # ------------------------------------------------------------------
+    def _dynamic_cols_weights(self, x):
+        """Concatenated global columns + weights for the 3 dynamic planes."""
+        cols_all, wcs = [], []
+        offset = 0
+        for i, (a, b) in enumerate(self._PLANE_AXES):
+            gspec = self.dynamic_grid(i).grid
+            cols, wc = gspec.level_cols_weights(x[:, (a, b)])
+            cols_all.append(cols + offset)
+            wcs.append(wc)
+            offset += gspec.n_cols
+        return jnp.concatenate(cols_all), wcs
+
+    def _dynamic_folded(self, params, t):
+        """One folded [F/B, sum_cols] table for all 3 planes at scalar t."""
+        return jnp.concatenate([
+            self.dynamic_grid(i).folded_table(params[k], t)
+            for i, k in enumerate(self._PLANE_KEYS)], axis=1)
+
+    def _assemble(self, vals, wcs):
+        """Per-plane corner-weight reduce of a fused gather result."""
+        outs = []
+        p = 0
+        for wc in wcs:
+            L, C, N = wc.shape
+            n = L * C * N
+            v = vals[:, p:p + n].reshape(-1, L, C, N)
+            p += n
+            feat = jnp.sum(v * wc[None], axis=2)              # [F', L, N]
+            outs.append(jnp.transpose(feat, (2, 1, 0)).reshape(N, -1))
+        return jnp.concatenate(outs, axis=-1)                 # [N, 3*L*F']
+
     def apply_dynamic(self, params, x, t):
-        xy = x[:, (0, 1)]
-        xz = x[:, (0, 2)]
-        yz = x[:, (1, 2)]
-        f_xyt = self.dynamic_grid(0).apply(params["dyn_xyt"], xy, t)
-        f_xzt = self.dynamic_grid(1).apply(params["dyn_xzt"], xz, t)
-        f_yzt = self.dynamic_grid(2).apply(params["dyn_yzt"], yz, t)
-        return jnp.concatenate([f_xyt, f_xzt, f_yzt], axis=-1)
+        """x: [N, 3] in [0,1]; scalar t -> [N, n_output_dims_dynamic].
+        One gather (and one backward segment-sum) for all three planes."""
+        cols, wcs = self._dynamic_cols_weights(x)
+        table = self._dynamic_folded(params, t)
+        return self._assemble(table_gather(table, cols), wcs)
+
+    def apply_dynamic_pair(self, params, xs, ts):
+        """Both temporal-warp queries (``network_dynamic.py:245-271``).
+
+        xs: [2, N, 3]; ts: [2] (scalars) -> [2, N, n_output_dims_dynamic].
+        Two separate queries on purpose: concatenating the two folded
+        tables into one gather measured ~2x SLOWER on v5e — XLA's fast
+        small-table gather path degrades once the table crosses ~2 MB
+        (see VALIDATION.md).
+        """
+        return jnp.stack([self.apply_dynamic(params, xs[0], ts[0]),
+                          self.apply_dynamic(params, xs[1], ts[1])])
 
     def apply(self, params, x, t):
         return self.apply_static(params, x), self.apply_dynamic(params, x, t)

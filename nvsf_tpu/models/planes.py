@@ -5,6 +5,16 @@ Rebuilds ``nvsf/nerf/models/planes_field.py``: C(4,2)=6 planes per scale,
 bilinear lookups with align_corners=True + border padding, static planes
 (xy, xz, yz) and dynamic planes (xt, yt, zt) reduced by product over the
 3 planes of each group, features concatenated across scales.
+
+TPU note: plane tables are SMALL (<= 256*256 slots), and XLA's TPU
+gather/scatter emits a fast vectorized path for small tables (~2-3G
+rows/s gather, ~130M upd/s scatter measured on v5e — vs ~200M/s / ~16M/s
+for the multi-megabyte hash tables). Per-plane ``jnp.take`` + autodiff is
+therefore FASTER here than routing through the fused big-table gather +
+sort-based segment-sum used by the hash grids (measured: fusing all planes
+into one concatenated table cost 4x on the forward). The temporal-warp
+queries are instead batched by concatenating their POINTS — time is a
+plane coordinate, so all queries share one table pass.
 """
 
 from __future__ import annotations
@@ -147,3 +157,12 @@ class Planes4DSpec:
 
     def apply_dynamic(self, params, xt):
         return self._interp(params, xt, sample_only="dynamic")
+
+    def apply_dynamic_multi(self, params, xts):
+        """xts: [Q, N, 4] -> [Q, N, 32]: the temporal-warp queries
+        (``network_dynamic.py:245-271``). Queried separately on purpose:
+        batching the points (or vmapping) produces one 3N-point gather,
+        which measured SLOWER on v5e than three 262k-point gathers — XLA's
+        small-table fast path degrades with index-batch size."""
+        return jnp.stack([self._interp(params, xts[q], sample_only="dynamic")
+                          for q in range(xts.shape[0])])

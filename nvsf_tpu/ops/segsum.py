@@ -1,0 +1,167 @@
+"""Scatter-free segment accumulation for hash/plane table gradients.
+
+``segment_add_fm(cols, vals, T)`` computes ``zeros([F, T]).at[:, cols].add(vals)``
+— the backward of a table gather — WITHOUT an XLA scatter. XLA's TPU
+scatter-add is serialized (~16M updates/s measured on v5e regardless of
+sortedness/uniqueness, see VALIDATION.md); this path replaces it with
+
+  1. one multi-operand ``lax.sort`` keyed on the table column (~600M keys/s),
+  2. a ``searchsorted`` for per-table-block offsets into the sorted stream,
+  3. a Pallas kernel that, for each table block of ``B`` slots, DMAs the
+     block's slice of the sorted stream and accumulates it with one-hot
+     matmuls on the MXU (the one-hot is generated in-register from an iota
+     compare, so the "scatter" becomes dense matrix work).
+
+Measured on v5e: 8.4M updates -> 2M slots, F=8: ~111 ms vs ~511 ms for the
+XLA scatter (4.6x); the sort is ~14 ms of that.
+
+This replaces the gradient half of tiny-cuda-nn's fused hash-encoder CUDA
+kernels (atomic fp16 adds, ``/root/reference/nvsf/nerf/models/hash_field.py:108-133``
+via tcnn) with a TPU-native sort+MXU formulation.
+
+Numerics: the MXU one-hot matmul runs two bf16 passes (value split into
+bf16 high/low parts; the one-hot factor is exact in bf16), giving ~2^-17
+relative error — tighter than tcnn's fp16 atomics. Tests compare against
+the exact XLA scatter with atol=1e-4.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ROW = 1024        # i32 1-D HBM tile: slices must be 1024-element aligned
+_CPR = 8           # key rows per chunk (8-row HBM tile alignment)
+_CH = _CPR * _ROW  # updates per DMA chunk
+
+
+def _kernel(B, F, off_ref, keys_hbm, vals_hbm, out_ref, kbuf, vbuf, sems):
+    b = pl.program_id(0)
+    start = off_ref[b]
+    end = off_ref[b + 1]
+    base = b * B
+    r0 = (start // _CH) * _CPR          # chunk-aligned first key row
+    n_it = (end - r0 * _ROW + _CH - 1) // _CH
+
+    def dma_k(slot, it):
+        return pltpu.make_async_copy(
+            keys_hbm.at[pl.ds(r0 + it * _CPR, _CPR), :],
+            kbuf.at[slot], sems.at[slot, 0])
+
+    def dma_v(slot, it):
+        return pltpu.make_async_copy(
+            vals_hbm.at[:, pl.ds((r0 + it * _CPR) * _ROW, _CH)],
+            vbuf.at[slot], sems.at[slot, 1])
+
+    @pl.when(n_it > 0)
+    def _():
+        dma_k(0, 0).start()
+        dma_v(0, 0).start()
+
+    def body(it, acc):
+        slot = jax.lax.rem(it, 2)
+        nxt = jax.lax.rem(it + 1, 2)
+
+        @pl.when(it + 1 < n_it)
+        def _():
+            dma_k(nxt, it + 1).start()
+            dma_v(nxt, it + 1).start()
+
+        dma_k(slot, it).wait()
+        dma_v(slot, it).wait()
+        for j in range(_CPR):
+            k = kbuf[slot, j]                               # [1024]
+            v = vbuf[slot][:, j * _ROW:(j + 1) * _ROW]      # [F, 1024]
+            cols = jax.lax.broadcasted_iota(jnp.int32, (B, _ROW), 0) + base
+            # keys outside [base, base+B) (pre-start alignment junk, the
+            # next block's data, or the T sentinel padding) simply fail the
+            # compare — the one-hot IS the block filter.
+            oh = jnp.where(k[None, :] == cols, 1.0, 0.0)    # [B, 1024]
+            dn = (((1,), (1,)), ((), ()))
+            # split-2 product: one-hot is exact in bf16, so splitting v into
+            # bf16 high+low parts gives ~f32 accuracy in 2 MXU passes
+            # (Mosaic supports only DEFAULT / HIGHEST=6 passes).
+            vh = v.astype(jnp.bfloat16).astype(jnp.float32)
+            vl = v - vh
+            acc = acc + jax.lax.dot_general(
+                vh, oh, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+            acc = acc + jax.lax.dot_general(
+                vl, oh, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+        return acc
+
+    acc = jax.lax.fori_loop(0, n_it, body, jnp.zeros((F, B), jnp.float32))
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _segment_add_tpu(cols, vals, T, B):
+    F, M = vals.shape
+    Tp = -(-T // B) * B                  # pad table to a B multiple
+    NB = Tp // B
+
+    ops = jax.lax.sort([cols.astype(jnp.int32)]
+                       + [vals[f] for f in range(F)], num_keys=1)
+    keys_s = ops[0]
+    block_starts = jnp.arange(NB, dtype=jnp.int32) * B
+    offs = jnp.searchsorted(keys_s, block_starts, side="left") \
+        .astype(jnp.int32)
+    offsets = jnp.concatenate([offs, jnp.full((1,), M, jnp.int32)])
+    pad = (-M) % _ROW + 2 * _CH
+    keys2d = jnp.concatenate(
+        [keys_s, jnp.full((pad,), Tp, jnp.int32)]).reshape(-1, _ROW)
+    vals_s = jnp.stack([
+        jnp.concatenate([ops[1 + f], jnp.zeros((pad,), vals.dtype)])
+        for f in range(F)]).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, B, F),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(NB,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                      pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=pl.BlockSpec((F, B), lambda b, off: (0, b),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, _CPR, _ROW), jnp.int32),
+                pltpu.VMEM((2, F, _CH), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((F, Tp), jnp.float32),
+    )(offsets, keys2d, vals_s)
+    return out[:, :T]
+
+
+def _segment_add_xla(cols, vals, T):
+    """Reference path (exact): XLA scatter-add. Used off-TPU and in tests."""
+    F = vals.shape[0]
+    return jnp.zeros((F, T), vals.dtype).at[:, cols].add(vals)
+
+
+def pick_block(T: int) -> int:
+    """Table slots per kernel block. 1024 balances one-hot compare cost
+    (~M*B VPU ops) against DMA read amplification; the kernel pads T up to
+    a B multiple, so any T works."""
+    return 1024
+
+
+def segment_add_fm(cols: jnp.ndarray, vals: jnp.ndarray, T: int,
+                   use_pallas: bool | None = None) -> jnp.ndarray:
+    """Sum update rows into a features-major table.
+
+    cols: [M] int32 in [0, T); vals: [F, M] -> [F, T] with
+    ``out[:, t] = sum(vals[:, cols == t])``. Equivalent to
+    ``jnp.zeros((F, T)).at[:, cols].add(vals)`` but scatter-free on TPU.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas:
+        return _segment_add_xla(cols, vals, T)
+    return _segment_add_tpu(cols, vals, T, pick_block(T))
