@@ -212,17 +212,11 @@ class NVSFFieldSpec:
         has_next = frame_idx < self.num_frames - 1
         has_prev = frame_idx > 0
 
-        # the t-query carries gradients; the two warp queries are computed
-        # under a single stop_gradient so XLA traces NO backward for them at
-        # all (the reference's no_grad hash re-queries,
-        # ``network_dynamic.py:245-271``), and both are fused into ONE
-        # gather via apply_dynamic_pair.
-        hash_d = hspec.apply_dynamic(hash_p, xn, t)
-        hash_12 = jax.lax.stop_gradient(hspec.apply_dynamic_pair(
-            jax.lax.stop_gradient(hash_p),
-            jax.lax.stop_gradient(jnp.stack([x1, x2])),
-            jnp.stack([t1, t2])))
-        hash_1, hash_2 = hash_12[0], hash_12[1]
+        # all three temporal queries share ONE fused gather; only the
+        # t-query carries table gradients — the warp queries replicate the
+        # reference's no_grad hash re-queries (``network_dynamic.py:245-271``)
+        hash_d, hash_1, hash_2 = hspec.apply_dynamic_fused3(
+            hash_p, xn, x1, x2, t, t1, t2)
 
         ts3 = jnp.stack([t, t1, t2])
         tcols = ts3[:, None, None] * jnp.ones((3, xn.shape[0], 1))
@@ -243,9 +237,12 @@ class NVSFFieldSpec:
         plane_d = 0.5 * plane_d + 0.25 * (plane_1 + plane_2)
         hash_d = 0.5 * hash_d + 0.25 * (hash_1 + hash_2)
 
-        features = jnp.concatenate([plane_s, plane_d, hash_s, hash_d], axis=-1)
-        h = self.sigma_spec.apply(params["sigma_net"], features,
-                                  compute_dtype).astype(jnp.float32)
+        # NO feature concat: minor-dim concat of 32/32/32/24-wide blocks
+        # costs ~300ms at 262k samples on v5e (lane relayout); the sigma
+        # net's first layer is split per block instead (apply_blocks)
+        h = self.sigma_spec.apply_blocks(
+            params["sigma_net"], [plane_s, plane_d, hash_s, hash_d],
+            compute_dtype).astype(jnp.float32)
         sigma = trunc_exp(h[..., 0])
         return {"sigma": sigma, "geo_feat": h[..., 1:]}
 
@@ -259,19 +256,17 @@ class NVSFFieldSpec:
         dn = (d + 1.0) / 2.0
         if cal_lidar_color:
             enc = frequency_encode(dn, degree=12)
-            logits = jnp.concatenate(
-                [enc, geo_feat], axis=-1).astype(jnp.float32)
-            raydrop = self.raydrop_spec.apply(params["raydrop_net"], logits,
-                                              compute_dtype)
-            intensity = self.intensity_spec.apply(params["intensity_net"],
-                                                  logits, compute_dtype)
+            blocks = [enc.astype(jnp.float32), geo_feat.astype(jnp.float32)]
+            raydrop = self.raydrop_spec.apply_blocks(
+                params["raydrop_net"], blocks, compute_dtype)
+            intensity = self.intensity_spec.apply_blocks(
+                params["intensity_net"], blocks, compute_dtype)
             h = jnp.concatenate([raydrop, intensity], axis=-1)
         else:
             enc = sh_encode_deg4(dn)
-            logits = jnp.concatenate(
-                [enc, geo_feat], axis=-1).astype(jnp.float32)
-            h = self.color_spec.apply(params["color_net"], logits,
-                                      compute_dtype)
+            blocks = [enc.astype(jnp.float32), geo_feat.astype(jnp.float32)]
+            h = self.color_spec.apply_blocks(params["color_net"], blocks,
+                                             compute_dtype)
         h = jax.nn.sigmoid(h.astype(jnp.float32))
         if mask is not None:
             h = jnp.where(mask[:, None], h, 0.0)

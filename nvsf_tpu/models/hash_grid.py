@@ -192,7 +192,7 @@ class HashEncodingSpec:
         """Gather + corner-weight reduce. table [F', cols_total] (F' may be
         a folded feature count); returns [N, L*F'] level-major."""
         L, C, N = wc.shape
-        vals = table_gather(table, cols)                      # [F', L*C*N]
+        vals = table_gather(table, cols)
         Fp = vals.shape[0]
         vals = vals.reshape(Fp, L, C, N)
         feat = jnp.sum(vals * wc[None], axis=2)               # [F', L, N]
@@ -360,13 +360,39 @@ class HashGrid4DSpec:
         """Both temporal-warp queries (``network_dynamic.py:245-271``).
 
         xs: [2, N, 3]; ts: [2] (scalars) -> [2, N, n_output_dims_dynamic].
-        Two separate queries on purpose: concatenating the two folded
-        tables into one gather measured ~2x SLOWER on v5e — XLA's fast
-        small-table gather path degrades once the table crosses ~2 MB
-        (see VALIDATION.md).
         """
         return jnp.stack([self.apply_dynamic(params, xs[0], ts[0]),
                           self.apply_dynamic(params, xs[1], ts[1])])
+
+    def apply_dynamic_fused3(self, params, x, x1, x2, t, t1, t2):
+        """The t-query and BOTH temporal-warp queries in ONE fused gather.
+
+        Multiple gather ops in one XLA program measured ~2.5x slower per
+        row than a single fused gather on v5e (VALIDATION.md), so the three
+        queries' columns are concatenated against the three folded tables.
+        Only the t-query carries gradients (``n_grad``); the warp queries
+        replicate the reference's ``torch.no_grad`` re-queries
+        (``network_dynamic.py:245-271``) — their positions, tables, and
+        gathered values are all stop-gradient.
+
+        Returns (feat_t, feat_t1, feat_t2), each [N, n_output_dims_dynamic].
+        """
+        sg = jax.lax.stop_gradient
+        cols0, wcs0 = self._dynamic_cols_weights(x)
+        cols1, wcs1 = self._dynamic_cols_weights(sg(x1))
+        cols2, wcs2 = self._dynamic_cols_weights(sg(x2))
+        tb0 = self._dynamic_folded(params, t)
+        tb1 = sg(self._dynamic_folded(sg(params), t1))
+        tb2 = sg(self._dynamic_folded(sg(params), t2))
+        S = tb0.shape[1]
+        table = jnp.concatenate([tb0, tb1, tb2], axis=1)
+        n = cols0.shape[0]
+        cols = jnp.concatenate([cols0, cols1 + S, cols2 + 2 * S])
+        vals = table_gather(table, cols, n_grad=n, grad_cols_T=S)
+        out0 = self._assemble(vals[:, :n], wcs0)
+        out1 = self._assemble(sg(vals[:, n:2 * n]), wcs1)
+        out2 = self._assemble(sg(vals[:, 2 * n:]), wcs2)
+        return out0, out1, out2
 
     def apply(self, params, x, t):
         return self.apply_static(params, x), self.apply_dynamic(params, x, t)

@@ -50,7 +50,8 @@ def _bilinear_sample_fmajor(plane_flat: jnp.ndarray, H: int, W: int,
     wy = y - y0
 
     def gather(yy, xx):
-        return jnp.take(plane_flat, yy * W + xx, axis=1)  # [F, N]
+        return plane_flat.at[:, yy * W + xx].get(
+            mode="promise_in_bounds")  # [F, N]
 
     out = (gather(y0, x0) * ((1 - wx) * (1 - wy))[None]
            + gather(y0, x1) * (wx * (1 - wy))[None]

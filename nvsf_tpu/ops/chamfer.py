@@ -60,13 +60,24 @@ def min_dist2(a, b, b_mask=None, block_m: int = 4096):
     return jnp.maximum(out, 0.0)
 
 
-def chamfer_distance(a, b, a_mask=None, b_mask=None, block_m: int = 4096):
+def chamfer_distance(a, b, a_mask=None, b_mask=None, block_m: int = 4096,
+                     use_pallas: bool | None = None):
     """Bidirectional squared chamfer (``dist_chamfer_3D.py:90-97`` API).
 
     Returns (dist1 [N], dist2 [M]): dist1[i] = min_j |a_i - b_j|^2 over valid
     b, zeroed at invalid a (and vice versa). Callers aggregate — the
     reference uses ``(dist1 + dist2).mean() * 0.5`` (``trainer.py:232-233``).
+
+    use_pallas: route through the VMEM-blocked Pallas kernel
+    (``ops/chamfer_pallas.py``) — gradient-free, so it serves the EVAL
+    meters (PointsMeter at ~68k x 68k); the training loss keeps this XLA
+    scan for its autodiff min-subgradient. Default: Pallas on TPU.
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from nvsf_tpu.ops.chamfer_pallas import chamfer_distance_pallas
+        return chamfer_distance_pallas(a, b, a_mask, b_mask)
     d1 = min_dist2(a, b, b_mask, block_m)
     d2 = min_dist2(b, a, a_mask, block_m)
     if a_mask is not None:

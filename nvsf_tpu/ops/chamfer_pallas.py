@@ -9,11 +9,12 @@ reference). The pairwise-distance block is computed as
 Layouts are point-major [3, N]: the TPU (8, 128) tile makes a trailing dim
 of 3 catastrophically padded, so coordinates live on the sublane axis.
 
-Note on the hash-grid encoder: a Pallas gather kernel was evaluated and
-rejected — Mosaic on this stack does not lower vector gathers from VMEM
-(``jnp.take``/``take_along_axis`` fail to compile inside kernels), and a
-scalar-DMA loop is far slower than XLA's native fused gather. The encoder
-therefore stays on XLA gathers with feature-major layouts.
+Note on the hash-grid encoder: a Pallas VMEM gather kernel was evaluated
+and rejected twice (r1, r2) — Mosaic's dynamic lane gather only handles a
+single 128-lane vreg ("Multiple source vregs along gather dimension"), so
+table-sized gathers cannot lower. The encoder forward stays on XLA gathers;
+the encoder BACKWARD is the Pallas sort+one-hot-matmul segment sum in
+``nvsf_tpu/ops/segsum.py``.
 """
 
 from __future__ import annotations

@@ -289,6 +289,105 @@ class RendererSpec:
                 "weights": weights, "z_vals": z_vals}
 
     # ------------------------------------------------------------------
+    def run_occupancy_stream(self, params, rays_o, rays_d, time, occ_spec,
+                             occ_grid, *, num_steps_occ: int,
+                             cal_lidar_color=False, bg_color=None,
+                             occ_thresh: float = 0.01, slab: int = 32,
+                             trans_eps: float = 1e-4):
+        """Eval-only occupancy rendering with ALIVE-RAY EARLY TERMINATION.
+
+        The K occupancy-compacted samples are composited in z-ordered slabs
+        of ``slab`` samples inside a ``lax.while_loop`` that stops as soon
+        as every ray in the batch has transmittance < ``trans_eps`` — the
+        TPU-native analogue of the reference's streaming ``march_rays`` /
+        ``composite_rays`` loop that kills converged rays
+        (``raymarching.py:367-510``, ``raymarching.cu:809-1077``). Rays
+        that hit a surface early stop paying for the samples behind it;
+        LiDAR panoramas terminate most slabs after the first surface.
+
+        Quadrature is identical to ``run_occupancy`` (same deltas / masks),
+        so outputs match the training-mode renderer exactly when no slab is
+        skipped. Not differentiable (while_loop) — eval/render paths only.
+        """
+        N = rays_o.shape[0]
+        T = self.num_steps
+        K = num_steps_occ
+        S = min(slab, K)
+        assert K % S == 0, "num_steps_occ must be a multiple of slab"
+        aabb = self.aabb
+
+        if cal_lidar_color:
+            nears = jnp.full((N, 1), self.min_near_lidar, jnp.float32)
+            fars = jnp.full((N, 1), self.lidar_max_depth, jnp.float32)
+        else:
+            nears, fars = near_far_from_aabb(rays_o, rays_d, aabb,
+                                             self.min_near)
+            nears, fars = nears[:, None], fars[:, None]
+        z = jnp.linspace(0.0, 1.0, T, dtype=jnp.float32)[None, :]
+        z_cand = nears + (fars - nears) * z
+        sample_dist = (fars - nears) / T
+
+        z_vals, valid = occ_spec.compact_samples(
+            occ_grid, rays_o, rays_d, z_cand, K, occ_thresh)     # [N, K]
+        deltas = z_vals[..., 1:] - z_vals[..., :-1]
+        deltas = jnp.concatenate(
+            [deltas, jnp.broadcast_to(sample_dist, (N, 1))], axis=-1)
+        deltas = jnp.clip(deltas, 0.0, 2.0 * sample_dist * (T / K))
+        exponent = 2.0 if self.active_sensor else 1.0
+        out_dim = 2 if cal_lidar_color else 3
+
+        def slab_body(carry):
+            i, trans, depth, image, wsum = carry
+            zs = jax.lax.dynamic_slice(z_vals, (0, i * S), (N, S))
+            ds = jax.lax.dynamic_slice(deltas, (0, i * S), (N, S))
+            vs = jax.lax.dynamic_slice(valid, (0, i * S), (N, S))
+            xyzs = rays_o[:, None, :] + rays_d[:, None, :] * zs[..., None]
+            xyzs = jnp.clip(xyzs, aabb[:3], aabb[3:])
+            dout = self.field.density(params, xyzs.reshape(-1, 3), time,
+                                      cal_lidar_color=cal_lidar_color,
+                                      compute_dtype=self._cdtype)
+            sigmas = jnp.where(vs, dout["sigma"].reshape(N, S), 0.0)
+            alphas = 1.0 - jnp.exp(-exponent * ds * self.density_scale
+                                   * sigmas)
+            # transmittance continues from the carry (previous slabs)
+            t_in = jnp.cumprod(
+                jnp.concatenate([jnp.ones((N, 1)), 1.0 - alphas + 1e-15],
+                                axis=-1), axis=-1)
+            weights = alphas * trans[:, None] * t_in[:, :-1]     # [N, S]
+            dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
+            mask = ((weights > 1e-4) & vs).reshape(-1)
+            rgbs = self.field.color(params, xyzs.reshape(-1, 3),
+                                    dirs.reshape(-1, 3), dout["geo_feat"],
+                                    cal_lidar_color=cal_lidar_color,
+                                    mask=mask, compute_dtype=self._cdtype)
+            rgbs = rgbs.reshape(N, S, out_dim)
+            return (i + 1,
+                    trans * t_in[:, -1],
+                    depth + jnp.sum(weights * zs, axis=-1),
+                    image + jnp.sum(weights[..., None] * rgbs, axis=-2),
+                    wsum + weights.sum(axis=-1))
+
+        def slab_cond(carry):
+            i, trans = carry[0], carry[1]
+            return (i < K // S) & (jnp.max(trans) > trans_eps)
+
+        init = (jnp.int32(0), jnp.ones((N,), jnp.float32),
+                jnp.zeros((N,), jnp.float32),
+                jnp.zeros((N, out_dim), jnp.float32),
+                jnp.zeros((N,), jnp.float32))
+        _, _, depth, image, weights_sum = jax.lax.while_loop(
+            slab_cond, slab_body, init)
+
+        if not cal_lidar_color:
+            if bg_color is None:
+                bg_color = 1.0
+            image = image + (1.0 - weights_sum)[..., None] * bg_color
+            return {"depth": depth, "image": image,
+                    "weights_sum": weights_sum}
+        return {"depth_lidar": depth, "image_lidar": image,
+                "weights_sum_lidar": weights_sum}
+
+    # ------------------------------------------------------------------
     def _importance_resample(self, params, rays_o, rays_d, time, z_vals,
                              sample_dist, cal_lidar_color, key):
         """Coarse pass -> CDF resample -> merged sorted z values."""
@@ -315,10 +414,24 @@ class RendererSpec:
 
     # ------------------------------------------------------------------
     def render(self, params, rays_o, rays_d, time, *, cal_lidar_color=False,
-               staged=False, perturb=False, key=None, bg_color=None):
+               staged=False, perturb=False, key=None, bg_color=None,
+               occ_spec=None, occ_grid=None, num_steps_occ=None,
+               occ_thresh: float = 0.01):
         """Flat [N, 3] ray batch -> outputs; staged mode chunks rays through
-        ``lax.map`` with padding (``renderer_dynamic.py:286-316``)."""
+        ``lax.map`` with padding (``renderer_dynamic.py:286-316``).
+
+        With ``occ_spec``/``occ_grid`` provided, staged rendering goes
+        through the occupancy-compacted EARLY-TERMINATING marcher
+        (``run_occupancy_stream``) instead of the dense ``num_steps`` run —
+        the production eval/render path (north-star render target)."""
+        use_occ = occ_spec is not None and occ_grid is not None
         if not staged:
+            if use_occ:
+                return self.run_occupancy(
+                    params, rays_o, rays_d, time, occ_spec, occ_grid,
+                    num_steps_occ=num_steps_occ, occ_thresh=occ_thresh,
+                    cal_lidar_color=cal_lidar_color, perturb=perturb,
+                    key=key, bg_color=bg_color)
             return self.run(params, rays_o, rays_d, time,
                             cal_lidar_color=cal_lidar_color, perturb=perturb,
                             key=key, bg_color=bg_color)
@@ -333,9 +446,15 @@ class RendererSpec:
 
         def chunk_fn(args):
             o, d = args
-            r = self.run(params, o, d, time,
-                         cal_lidar_color=cal_lidar_color, perturb=False,
-                         bg_color=bg_color)
+            if use_occ:
+                r = self.run_occupancy_stream(
+                    params, o, d, time, occ_spec, occ_grid,
+                    num_steps_occ=num_steps_occ, occ_thresh=occ_thresh,
+                    cal_lidar_color=cal_lidar_color, bg_color=bg_color)
+            else:
+                r = self.run(params, o, d, time,
+                             cal_lidar_color=cal_lidar_color, perturb=False,
+                             bg_color=bg_color)
             if cal_lidar_color:
                 return r["depth_lidar"], r["image_lidar"]
             return r["depth"], r["image"]

@@ -98,8 +98,10 @@ def main(argv=None):
         # density mesh export (``main_nvsf.py:297-300``)
         from nvsf_tpu.render.export import export_mesh_density
         export_mesh_density(
-            trainer, bound_min=(-0.5, -0.5, 0.06), bound_max=(0.5, 0.5, 0.09),
-            xyz_res=(256, 256, 32), threshold=cfg_run.density_thresh,
+            trainer, bound_min=tuple(cfg_run.mesh_bound_min),
+            bound_max=tuple(cfg_run.mesh_bound_max),
+            xyz_res=tuple(cfg_run.mesh_xyz_res),
+            threshold=cfg_run.density_thresh,
             out_path=os.path.join(results_dir, f"{cfg_run.name}_mesh.ply"))
         return
 
@@ -120,9 +122,8 @@ def main(argv=None):
         f"{model_summary(trainer.state['params'])}")
 
     t0 = time.time()
-    for ep in range(trainer.epoch + 1, cfg_run.epochs + 1):
-        trainer.epoch = ep
-        stats = trainer.train_one_epoch()
+
+    def on_epoch(ep, stats):
         tb.add_scalar("train/loss", stats.loss, ep)
         tb.add_scalars_dict("train", stats.parts, ep)
         if ep % cfg_run.eval_interval == 0 or ep == cfg_run.epochs:
@@ -155,6 +156,12 @@ def main(argv=None):
                 trainer.stats["best_result"] = cd
                 trainer.save_checkpoint(full=False, best=True)
                 log(f"[epoch {ep}] new best CD {cd:.5f} -> best checkpoint")
+
+    # epochs ride through recoverable device failures by restoring the
+    # latest checkpoint (SURVEY §5 failure detection/recovery)
+    from nvsf_tpu.train.resilience import run_epochs_with_recovery
+    run_epochs_with_recovery(trainer, trainer.epoch + 1, cfg_run.epochs,
+                             on_epoch, log_fn=log)
     # refine + refined eval (``trainer.py:1092-1096``)
     if cfg_run.enable_lidar:
         trainer.refine(steps=cfg_run.refine_steps, log_fn=log)

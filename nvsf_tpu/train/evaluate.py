@@ -62,14 +62,45 @@ def evaluate(trainer, scene, *, use_refine: bool = False, use_ema: bool = True,
     cam_meters = {c: build_camera_meters(cfg) for c in cats} \
         if cfg.enable_rgb else {}
 
+    # pre-render every frame through the batched (mesh-sharded, occupancy
+    # early-exit) sweep in small frame groups — one device dispatch per
+    # group instead of the reference's per-frame host loop
+    # (``trainer.py:1458-1526``)
+    from nvsf_tpu.render.sweep import render_camera_sweep, render_lidar_sweep
+    params = trainer.state["ema_params"] if use_ema \
+        else trainer.state["params"]
+    group = 4
+    lidar_sw = {"depth": [], "raydrop": [], "intensity": []}
+    cam_sw = {"rgb": [], "depth": []}
+    for f0 in range(0, len(scene), group):
+        fs = list(range(f0, min(f0 + group, len(scene))))
+        if cfg.enable_lidar and scene.images_lidar is not None:
+            sw = render_lidar_sweep(
+                trainer.rend, params,
+                np.asarray(scene.poses_lidar)[fs], np.asarray(scene.times)[fs],
+                scene.H_lidar, scene.W_lidar, scene.intrinsics_lidar,
+                scene.intrinsics_hoz_lidar, mesh=trainer.mesh,
+                occ_kwargs=trainer._occ_kwargs(
+                    trainer.state.get("occ_grid_lidar")))
+            for k in lidar_sw:
+                lidar_sw[k].extend(sw[k])
+        if cfg.enable_rgb and scene.images is not None:
+            sw = render_camera_sweep(
+                trainer.rend, params,
+                np.asarray(scene.poses)[fs], np.asarray(scene.times)[fs],
+                scene.H, scene.W, scene.intrinsics, mesh=trainer.mesh,
+                occ_kwargs=trainer._occ_kwargs(
+                    trainer.state.get("occ_grid_rgb")))
+            for k in cam_sw:
+                cam_sw[k].extend(sw[k])
+
     for fi in range(len(scene)):
         ann = scene.annotations[fi] if has_ann else []
         # ---------------- LiDAR ----------------
         if cfg.enable_lidar and scene.images_lidar is not None:
-            pred = trainer.render_pano(
-                scene.poses_lidar[fi], float(scene.times[fi]),
-                scene.H_lidar, scene.W_lidar, scene.intrinsics_lidar,
-                scene.intrinsics_hoz_lidar, use_ema=use_ema)
+            pred = {"depth": lidar_sw["depth"][fi],
+                    "raydrop": lidar_sw["raydrop"][fi],
+                    "intensity": lidar_sw["intensity"][fi]}
             pred_raydrop = pred["raydrop"]
             if cfg.raydrop_loss == "bce":
                 pred_raydrop = 1.0 / (1.0 + np.exp(-pred_raydrop))
@@ -120,9 +151,7 @@ def evaluate(trainer, scene, *, use_refine: bool = False, use_ema: bool = True,
 
         # ---------------- camera ----------------
         if cfg.enable_rgb and scene.images is not None:
-            out = trainer.render_view(
-                scene.poses[fi], float(scene.times[fi]), scene.H, scene.W,
-                scene.intrinsics, use_ema=use_ema)
+            out = {"rgb": cam_sw["rgb"][fi], "depth": cam_sw["depth"][fi]}
             pred_rgb = out["rgb"]
             gt_rgb = scene.images[fi][..., :3]
             cat_masks = {"combined": np.ones(gt_rgb.shape[:2])}

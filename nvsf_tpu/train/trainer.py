@@ -182,6 +182,9 @@ class Trainer:
         self.epoch = 0
         self.global_step = 0
         self.stats = {"results": [], "best_result": None}
+        # seeded epoch-order RNG: the last nondeterminism in an otherwise
+        # fully keyed pipeline (exact-repro training runs)
+        self._order_rng = np.random.default_rng(seed)
 
         # jitted step per sampling mode; the scan variant runs a whole epoch
         # (a sequence of frame indices) in ONE device dispatch — essential
@@ -512,7 +515,16 @@ class Trainer:
         return epoch_fn
 
     # ------------------------------------------------------------------
-    def _render_frame_lidar(self, params, fi):
+    def _occ_kwargs(self, occ_grid):
+        """Render kwargs enabling the occupancy-compacted early-exit
+        marcher when the trainer runs in occupancy mode."""
+        if self.occ_spec is None or occ_grid is None:
+            return {}
+        return dict(occ_spec=self.occ_spec, occ_grid=occ_grid,
+                    num_steps_occ=self.cfg.num_steps_occ,
+                    occ_thresh=self.cfg.occ_thresh)
+
+    def _render_frame_lidar(self, params, fi, occ_grid=None):
         scene, data = self.scene, self.data
         Hl, Wl = scene.H_lidar, scene.W_lidar
         inds = jnp.arange(Hl * Wl, dtype=jnp.int32)
@@ -520,12 +532,13 @@ class Trainer:
                                        scene.intrinsics_lidar,
                                        scene.intrinsics_hoz_lidar)
         out = self.rend.render(params, ro, rd, data["times"][fi],
-                               cal_lidar_color=True, staged=True)
+                               cal_lidar_color=True, staged=True,
+                               **self._occ_kwargs(occ_grid))
         return {"depth": out["depth_lidar"].reshape(Hl, Wl),
                 "raydrop": out["image_lidar"][:, 0].reshape(Hl, Wl),
                 "intensity": out["image_lidar"][:, 1].reshape(Hl, Wl)}
 
-    def _render_frame_camera(self, params, fi):
+    def _render_frame_camera(self, params, fi, occ_grid=None):
         scene, data = self.scene, self.data
         H, W = scene.H, scene.W
         inds = jnp.arange(H * W, dtype=jnp.int32)
@@ -533,7 +546,7 @@ class Trainer:
                                         data["intrinsics"])
         out = self.rend.render(params, ro, rd, data["times"][fi],
                                cal_lidar_color=False, staged=True,
-                               bg_color=1.0)
+                               bg_color=1.0, **self._occ_kwargs(occ_grid))
         return {"rgb": out["image"].reshape(H, W, 3),
                 "depth": out["depth"].reshape(H, W)}
 
@@ -542,7 +555,7 @@ class Trainer:
         cfg = self.cfg
         n = len(self.scene)
         if order is None:
-            order = np.random.permutation(n)
+            order = self._order_rng.permutation(n)
         order = np.asarray(order, np.int32)
         # patch epochs: epoch % change_patch_size_epoch == 0, epochs count
         # from 1 (``trainer.py:1050-1064``)
@@ -599,11 +612,12 @@ class Trainer:
     def _get_pano_renderer(self, H, W, K_l, K_hoz):
         key = ("pano", H, W, K_l, K_hoz)
         if key not in self._render_cache:
-            def fn(params, pose, t):
+            def fn(params, pose, t, occ_grid=None):
                 inds = jnp.arange(H * W, dtype=jnp.int32)
                 ro, rd = raylib.get_lidar_rays(pose, inds, H, W, K_l, K_hoz)
                 out = self.rend.render(params, ro, rd, t,
-                                       cal_lidar_color=True, staged=True)
+                                       cal_lidar_color=True, staged=True,
+                                       **self._occ_kwargs(occ_grid))
                 return {"depth": out["depth_lidar"].reshape(H, W),
                         "raydrop": out["image_lidar"][:, 0].reshape(H, W),
                         "intensity": out["image_lidar"][:, 1].reshape(H, W)}
@@ -613,12 +627,13 @@ class Trainer:
     def _get_view_renderer(self, H, W):
         key = ("view", H, W)
         if key not in self._render_cache:
-            def fn(params, pose, K, t):
+            def fn(params, pose, K, t, occ_grid=None):
                 inds = jnp.arange(H * W, dtype=jnp.int32)
                 ro, rd = raylib.get_camera_rays(pose, inds, H, W, K)
                 out = self.rend.render(params, ro, rd, t,
                                        cal_lidar_color=False, staged=True,
-                                       bg_color=1.0)
+                                       bg_color=1.0,
+                                       **self._occ_kwargs(occ_grid))
                 return {"rgb": out["image"].reshape(H, W, 3),
                         "depth": out["depth"].reshape(H, W)}
             self._render_cache[key] = jax.jit(fn)
@@ -630,7 +645,8 @@ class Trainer:
         fn = self._get_pano_renderer(int(H), int(W),
                                      tuple(intrinsics_lidar),
                                      tuple(intrinsics_hoz_lidar))
-        out = fn(params, jnp.asarray(pose), jnp.asarray(t, jnp.float32))
+        out = fn(params, jnp.asarray(pose), jnp.asarray(t, jnp.float32),
+                 self.state.get("occ_grid_lidar"))
         return jax.tree.map(np.asarray, out)
 
     def render_view(self, pose, t, H, W, intrinsics, use_ema=False):
@@ -638,7 +654,8 @@ class Trainer:
         fn = self._get_view_renderer(int(H), int(W))
         out = fn(params, jnp.asarray(pose),
                  jnp.asarray(intrinsics, jnp.float32),
-                 jnp.asarray(t, jnp.float32))
+                 jnp.asarray(t, jnp.float32),
+                 self.state.get("occ_grid_rgb"))
         return jax.tree.map(np.asarray, out)
 
     # ------------------------------------------------------------------
@@ -647,17 +664,28 @@ class Trainer:
     def refine(self, steps: int = 1000, lr: float = 1e-3, log_fn=print):
         """Render all training frames with the (EMA) field, then train the
         U-Net raydrop refiner on them."""
+        from nvsf_tpu.render.sweep import render_lidar_sweep
         from nvsf_tpu.train.refine import refine_raydrop
         scene = self.scene
+        # all training frames rendered through the batched mesh-sharded
+        # sweep, in groups of frames per dispatch (device-program length
+        # stays bounded; ``trainer.py:913-947`` renders one frame at a time)
         inputs, gts = [], []
-        for fi in range(len(scene)):
-            pred = self.render_pano(
-                scene.poses_lidar[fi], float(scene.times[fi]),
+        group = 4
+        for f0 in range(0, len(scene), group):
+            fs = list(range(f0, min(f0 + group, len(scene))))
+            sw = render_lidar_sweep(
+                self.rend, self.state["ema_params"],
+                np.asarray(scene.poses_lidar)[fs],
+                np.asarray(scene.times)[fs],
                 scene.H_lidar, scene.W_lidar, scene.intrinsics_lidar,
-                scene.intrinsics_hoz_lidar, use_ema=True)
-            inputs.append(np.stack([pred["raydrop"], pred["intensity"],
-                                    pred["depth"]], axis=0))
-            gts.append(scene.images_lidar[fi][:, :, 0][None])
+                scene.intrinsics_hoz_lidar, mesh=self.mesh,
+                occ_kwargs=self._occ_kwargs(
+                    self.state.get("occ_grid_lidar")))
+            for j, fi in enumerate(fs):
+                inputs.append(np.stack([sw["raydrop"][j], sw["intensity"][j],
+                                        sw["depth"][j]], axis=0))
+                gts.append(scene.images_lidar[fi][:, :, 0][None])
         x = np.stack(inputs)                    # [F, 3, H, W]
         y = np.stack(gts)                       # [F, 1, H, W]
         up, us, losses = refine_raydrop(
@@ -680,12 +708,13 @@ class Trainer:
     # ------------------------------------------------------------------
     def render_lidar_frame(self, fi, use_ema=False):
         params = self.state["ema_params"] if use_ema else self.state["params"]
-        return jax.tree.map(np.asarray, self._eval_lidar(params, jnp.int32(fi)))
+        return jax.tree.map(np.asarray, self._eval_lidar(
+            params, jnp.int32(fi), self.state.get("occ_grid_lidar")))
 
     def render_camera_frame(self, fi, use_ema=False):
         params = self.state["ema_params"] if use_ema else self.state["params"]
-        return jax.tree.map(np.asarray,
-                            self._eval_camera(params, jnp.int32(fi)))
+        return jax.tree.map(np.asarray, self._eval_camera(
+            params, jnp.int32(fi), self.state.get("occ_grid_rgb")))
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, full=True, best=False, suffix=""):

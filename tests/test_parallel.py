@@ -4,6 +4,7 @@ gradient equivalence vs single-device."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nvsf_tpu.parallel.mesh import make_mesh, shard_rays
 from nvsf_tpu.data.synthetic import SyntheticSceneSpec, make_synthetic_scene
@@ -48,6 +49,7 @@ def test_sharded_training_step_runs_and_matches():
     np.testing.assert_allclose(p8, p1, rtol=1e-2, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_multi_epoch_convergence():
     scene = make_synthetic_scene(SCENE_SPEC, split="train")
     tr = Trainer(tiny_config(change_patch_size_lidar=[1]), scene,
@@ -57,3 +59,30 @@ def test_sharded_multi_epoch_convergence():
         tr.epoch = ep
         losses.append(tr.train_one_epoch(order=np.arange(len(scene))).loss)
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.slow
+def test_weak_scaling_sharded_step():
+    """Weak-scaling sanity: 8 devices with 8x the rays must not cost much
+    more wall time per ray than 1 device (virtual CPU devices share host
+    cores, so this bounds pathological sharding overhead — real-chip
+    scaling is measured by the driver on hardware; SURVEY §2.3)."""
+    import time
+
+    scene = make_synthetic_scene(SCENE_SPEC, split="train")
+
+    def step_time(mesh, rays):
+        tr = Trainer(tiny_config(num_rays_lidar=rays, num_steps=16), scene,
+                     workspace=f"/tmp/nvsf_ws_{rays}", seed=3, mesh=mesh)
+        tr.train_one_epoch(order=np.arange(1))      # compile
+        t0 = time.perf_counter()
+        for _ in range(3):
+            tr.train_one_epoch(order=np.arange(1))
+        return (time.perf_counter() - t0) / 3
+
+    t1 = step_time(None, 64)
+    t8 = step_time(make_mesh(8), 512)
+    # 8x work on shared host cores: allow up to 12x wall, flagging only
+    # catastrophic sharding overhead (e.g. accidental full replication of
+    # the ray batch or per-device recompilation)
+    assert t8 < 12 * t1 + 0.5, (t1, t8)

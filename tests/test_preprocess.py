@@ -184,3 +184,40 @@ def test_annotations_parse(mini_kitti):
     v = anns[0][0]["vertices"]
     assert v.shape == (8, 3)
     np.testing.assert_allclose(v.mean(0), [5.0, 1.0, 0.5], atol=1e-6)
+
+
+@pytest.mark.slow
+def test_parity_harness_end_to_end(mini_kitti, tmp_path_factory):
+    """The KITTI-360 parity protocol as one command chain: preprocess ->
+    CLI train -> eval -> JSON error matrices (VALIDATION.md §parity). On a
+    real KITTI-360 mount the same two commands produce reference-comparable
+    numbers; this runs them end to end on the 2-frame-class mini fixture.
+    """
+    from nvsf_tpu.scripts.main_nvsf import main as cli_main
+
+    base, src, _ = mini_kitti
+    ws = tmp_path_factory.mktemp("parity")
+    cfg_path = K.preprocess_kitti360(
+        src, base, SEQ, recording=REC, config_dir=str(ws / "configs"),
+        workspace=str(ws / "run"), log_fn=lambda *a: None, H=16, W=64)
+
+    argv = [
+        "--config", str(cfg_path),
+        "--workspace", str(ws / "run"),
+        "--epochs", "2", "--eval_interval", "1",
+        "--num_rays_lidar", "128", "--num_rays", "128",
+        "--num_steps", "32", "--num_steps_occ", "16",
+        "--refine_steps", "2",
+        "--n_levels_hash", "2", "--log2_hashmap_size", "8",
+        "--flow_n_levels", "2", "--flow_log2_hashmap_size", "6",
+        "--min_resolution", "8", "--n_levels_plane", "2",
+        "--base_resolution", "16", "--max_resolution", "64",
+        "--ckpt", "scratch",
+    ]
+    cli_main(argv)
+
+    val_dir = ws / "run" / "validation"
+    mats = list(val_dir.glob("*_error_matrix_*.json"))
+    assert mats, f"no error matrices written in {val_dir}"
+    m = json.loads(mats[0].read_text())
+    assert "metrics" in m or len(m) > 0

@@ -61,6 +61,7 @@ def _make_trainer(scene, **over):
     return tr
 
 
+@pytest.mark.slow
 def test_lidar_training_loss_decreases(scene):
     # disable patch alternation so every epoch is the same regime
     tr = _make_trainer(scene, change_patch_size_lidar=[1])
@@ -72,6 +73,7 @@ def test_lidar_training_loss_decreases(scene):
     assert min(losses[-3:]) < 0.5 * losses[0], losses
 
 
+@pytest.mark.slow
 def test_lidar_depth_improves(scene):
     tr = _make_trainer(scene)
     gt = scene.images_lidar[0]
