@@ -151,19 +151,79 @@ class Planes4DSpec:
 
     def apply(self, params, xt):
         """xt: [N, 4] in [0,1] -> (static [N, 32], dynamic [N, 32])."""
-        return self._interp(params, xt)
+        return (self.apply_static(params, xt),
+                self.apply_dynamic(params, xt))
 
     def apply_static(self, params, xt):
         return self._interp(params, xt, sample_only="static")
 
     def apply_dynamic(self, params, xt):
-        return self._interp(params, xt, sample_only="dynamic")
+        return self.apply_dynamic_multi(params, xt[None])[0]
+
+    # ------------------------------------------------------------------
+    # dynamic (time) planes: scalar-t fold + MXU one-hot sampling
+    # ------------------------------------------------------------------
+    def _dyn_widths(self):
+        return tuple(self.plane_hw(si, ci)[1]
+                     for si in range(len(self.multiscale_res))
+                     for ci in _DYNAMIC)
 
     def apply_dynamic_multi(self, params, xts):
-        """xts: [Q, N, 4] -> [Q, N, 32]: the temporal-warp queries
-        (``network_dynamic.py:245-271``). Queried separately on purpose:
-        batching the points (or vmapping) produces one 3N-point gather,
-        which measured SLOWER on v5e than three 262k-point gathers — XLA's
-        small-table fast path degrades with index-batch size."""
-        return jnp.stack([self._interp(params, xts[q], sample_only="dynamic")
-                          for q in range(xts.shape[0])])
+        """xts: [Q, N, 4] -> [Q, N, 32]: t-query + temporal-warp queries
+        (``network_dynamic.py:245-271``).
+
+        The time coordinate is SCALAR per query, so the t-lerp of each
+        (x/y/z, t) plane folds into its table rows, leaving a 1-D lerp over
+        tiny (<=256-col) tables — computed as in-register one-hot matmuls
+        (``ops/timeplanes.py``): no gathers, no scatter backward. Gradients
+        reach the tables and, through the lerp weights, the warped
+        positions (the flow field)."""
+        from nvsf_tpu.ops.timeplanes import W_PAD, timeplane_sample
+
+        Q, N, _ = xts.shape
+        F = self.output_dim
+        S = len(self.multiscale_res)
+
+        folded, c0s, c1s, w0s, w1s = [], [], [], [], []
+        for q in range(Q):
+            t = xts[q, 0, 3]
+            for si in range(S):
+                for ci in _DYNAMIC:
+                    a, _b = _COO_COMBS[ci]
+                    H, W = self.plane_hw(si, ci)
+                    # fold the scalar-t lerp into the table rows
+                    y = jnp.clip(t, 0.0, 1.0) * (H - 1)
+                    y0 = jnp.floor(y).astype(jnp.int32)
+                    y1 = jnp.minimum(y0 + 1, H - 1)
+                    wy = (y - y0.astype(jnp.float32))[None, None]
+                    tbl = params[si][ci]                      # [F, H*W]
+                    r0 = jax.lax.dynamic_slice(tbl, (0, y0 * W), (F, W))
+                    r1 = jax.lax.dynamic_slice(tbl, (0, y1 * W), (F, W))
+                    folded.append(jnp.pad((1.0 - wy) * r0 + wy * r1,
+                                          ((0, 0), (0, W_PAD - W))))
+                    # per-sample x lerp
+                    x = jnp.clip(xts[q, :, a], 0.0, 1.0) * (W - 1)
+                    x0 = jnp.floor(x).astype(jnp.int32)
+                    x1 = jnp.minimum(x0 + 1, W - 1)
+                    wx = x - x0.astype(jnp.float32)
+                    c0s.append(x0)
+                    c1s.append(x1)
+                    w0s.append(1.0 - wx)
+                    w1s.append(wx)
+
+        tables = jnp.concatenate(folded, axis=1)        # [F, Q*12*W_PAD]
+        SP = S * len(_DYNAMIC)
+        pad = (-N) % 512
+
+        def prep(parts, dtype):
+            x = jnp.stack(parts).reshape(Q, SP, N).astype(dtype)
+            return jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+
+        feats = timeplane_sample(tables, prep(c0s, jnp.int32),
+                                 prep(c1s, jnp.int32),
+                                 prep(w0s, jnp.float32),
+                                 prep(w1s, jnp.float32))  # [Q, 12, F, Np]
+        feats = feats[..., :N].reshape(Q, S, len(_DYNAMIC), F, N)
+        feats = jnp.prod(feats, axis=2)                 # [Q, S, F, N]
+        # -> [Q, N, S*F] scale-major features
+        return jnp.transpose(feats.reshape(Q, S * F, N), (0, 2, 1))

@@ -70,6 +70,14 @@ def main(argv=None):
     from nvsf_tpu.parallel.mesh import make_mesh, mesh_from_spec
     import jax
 
+    # persistent compilation cache: the flagship step compiles in ~2-4 min
+    # cold on the TPU remote compiler; cached reruns load in seconds
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("NVSF_JAX_CACHE",
+                                     "/tmp/nvsf_tpu_jax_cache_tpu"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     mesh = None
     if cfg.mesh_shape:
         mesh = mesh_from_spec(cfg.mesh_shape)

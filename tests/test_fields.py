@@ -179,8 +179,16 @@ def test_nvsf_field_boundary_frames_jit():
 
 def test_nvsf_field_flow_grad_through_planes_only():
     """Gradient to the flow net flows via K-planes, not via the warped hash
-    queries (stop_gradient replicates the reference's no_grad block)."""
+    queries (stop_gradient replicates the reference's no_grad block).
+
+    The time planes init to ones (constant tables -> zero position
+    gradient, same as the reference at init), so they are perturbed first
+    to make the flow gradient genuinely nonzero."""
     params = TINY.init(jax.random.PRNGKey(0))
+    params["planes_lidar"] = [
+        [p + 0.1 * jax.random.normal(jax.random.PRNGKey(si * 7 + ci), p.shape)
+         for ci, p in enumerate(row)]
+        for si, row in enumerate(params["planes_lidar"])]
     x = jax.random.uniform(jax.random.PRNGKey(1), (5, 3), minval=-1, maxval=1)
 
     def loss(p):

@@ -63,26 +63,27 @@ def test_sharded_multi_epoch_convergence():
 
 @pytest.mark.slow
 def test_weak_scaling_sharded_step():
-    """Weak-scaling sanity: 8 devices with 8x the rays must not cost much
-    more wall time per ray than 1 device (virtual CPU devices share host
-    cores, so this bounds pathological sharding overhead — real-chip
-    scaling is measured by the driver on hardware; SURVEY §2.3)."""
-    import time
-
+    """Weak-scaling check, compile-level and load-independent: with 8x the
+    rays sharded over 8 devices, the compiled PER-DEVICE flops must stay
+    ~constant vs the single-device batch. Catches accidental ray-batch
+    replication or unsharded compute (virtual CPU devices share host
+    cores, so wall-clock weak scaling is measured by the driver on real
+    chips instead; SURVEY §2.3)."""
     scene = make_synthetic_scene(SCENE_SPEC, split="train")
 
-    def step_time(mesh, rays):
+    def step_flops(mesh, rays):
         tr = Trainer(tiny_config(num_rays_lidar=rays, num_steps=16), scene,
                      workspace=f"/tmp/nvsf_ws_{rays}", seed=3, mesh=mesh)
-        tr.train_one_epoch(order=np.arange(1))      # compile
-        t0 = time.perf_counter()
-        for _ in range(3):
-            tr.train_one_epoch(order=np.arange(1))
-        return (time.perf_counter() - t0) / 3
+        lowered = jax.jit(tr._make_train_step(patch=False)).lower(
+            tr.state, jnp.int32(0))
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
 
-    t1 = step_time(None, 64)
-    t8 = step_time(make_mesh(8), 512)
-    # 8x work on shared host cores: allow up to 12x wall, flagging only
-    # catastrophic sharding overhead (e.g. accidental full replication of
-    # the ray batch or per-device recompilation)
-    assert t8 < 12 * t1 + 0.5, (t1, t8)
+    f1 = step_flops(None, 64)
+    f8 = step_flops(make_mesh(8), 512)
+    assert f1 > 0 and f8 > 0
+    # cost_analysis on SPMD programs reports per-device flops; weak scaling
+    # means f8 ~ f1 (replicated compute would show ~8x)
+    assert f8 < 3.0 * f1, (f1, f8)
