@@ -38,8 +38,9 @@ V100_RENDER_BASELINE_RAYS_PER_SEC = 120_000.0  # fixed constant: V100 tcnn
 # TPU-tuned encoder shape: 4 levels x 8 features (same 32-dim output as the
 # reference's 8x4) halves the hash lookups on the gather-rate-bound v5e.
 _TPU_ENC = dict(n_levels_hash=4, n_features_per_level_hash=8,
-                flow_n_levels=8, flow_n_features_per_level=16,
-                encoder_remat=False)
+                flow_n_levels=4, flow_n_features_per_level=32,
+                encoder_remat=False)  # same 32-dim outputs as the 8x4 /
+# 16x8 reference shapes with half the (row-count-bound) hash lookups
 
 # the reference's own encoder shape + joint-modality losses (honest rung)
 _REF_ENC = dict(n_levels_hash=8, n_features_per_level_hash=4,
@@ -98,7 +99,8 @@ def _run_config(over, n_steps=16):
     # short scan dispatches: the tunnel's execution watchdog kills device
     # programs that run for more than ~1 minute, so an epoch is split into
     # 2-step dispatches (same compiled executable reused across dispatches)
-    scan_len = 2
+    scan_len = 8   # 8 x ~0.9s steps per dispatch: amortizes the ~28ms
+    # tunnel dispatch overhead, safely under the ~60s program watchdog
     frames = np.resize(np.arange(16), scan_len)
     tr.train_one_epoch(order=frames)        # warmup/compile
     float(np.asarray(tr.state["step"]))     # hard device->host sync
@@ -169,6 +171,10 @@ def main():
                 "vs_baseline": round(
                     rays_per_sec / V100_BASELINE_RAYS_PER_SEC, 3),
             }
+            # print as soon as measured (the secondary rungs can take many
+            # minutes of fresh compiles; a timeout must not lose this) —
+            # re-printed LAST for the driver's tail parse
+            print(json.dumps(headline), flush=True)
             break
         except Exception as e:
             # only worker/pool failures walk down the ladder; programming

@@ -60,10 +60,11 @@ def _bilinear_sample_fmajor(plane_flat: jnp.ndarray, H: int, W: int,
     return out
 
 
-# rematerialized: the backward otherwise saves four gathered corner tensors
-# per plane x scale x temporal query as residuals
-_bilinear_remat = jax.checkpoint(_bilinear_sample_fmajor,
-                                 static_argnums=(1, 2))
+# note: no rematerialization — only the single static-group query uses this
+# path now (the dynamic planes go through ops/timeplanes.py), and its corner
+# residuals (~400MB at 262k samples) fit HBM comfortably; the remat re-ran
+# all 48 corner gathers in the backward (~60ms/step)
+_bilinear_remat = _bilinear_sample_fmajor
 
 
 def bilinear_sample(plane, u, v):

@@ -206,6 +206,18 @@ class Trainer:
             lambda ema, p: jax.tree.map(
                 lambda e, q: cfg.ema_decay * e + (1 - cfg.ema_decay) * q,
                 ema, p))
+        # host-triggered occupancy refresh (instant-ngp cadence; kept OUT of
+        # the step graph — a lax.cond false branch still pays its full cost
+        # every step on TPU)
+        if self.occ_spec is not None:
+            def _occ_upd(params, grid, kk, t, lidar):
+                return self.occ_spec.update(
+                    grid, kk,
+                    lambda p: self.field.density(
+                        params, p, t, cal_lidar_color=lidar)["sigma"],
+                    thresh=cfg.occ_thresh)
+            self._occ_update = jax.jit(_occ_upd, static_argnums=(4,))
+            self._last_occ_update = -1
         self._eval_lidar = jax.jit(self._render_frame_lidar)
         self._eval_camera = jax.jit(self._render_frame_camera)
         self._render_cache = {}
@@ -464,31 +476,11 @@ class Trainer:
             new_state.update(params=params, opt_state=opt_state, key=key,
                              step=state["step"] + 1)
 
-            # periodic occupancy-grid refresh from the updated field
-            # (instant-ngp cadence; replaces the torch-ngp density-grid
-            # update the reference's CUDA marcher relied on)
-            if self.occ_spec is not None:
-                key, k_occ_l, k_occ_c = jax.random.split(key, 3)
-                new_state["key"] = key
-                do_update = (state["step"] % cfg.occ_update_interval) == 0
-
-                def _upd(grid, kk, lidar):
-                    return self.occ_spec.update(
-                        grid, kk,
-                        lambda p: field.density(
-                            params, p, t, cal_lidar_color=lidar)["sigma"],
-                        thresh=cfg.occ_thresh)
-
-                if cfg.enable_lidar:
-                    new_state["occ_grid_lidar"] = jax.lax.cond(
-                        do_update,
-                        lambda g: _upd(g, k_occ_l, True),
-                        lambda g: g, state["occ_grid_lidar"])
-                if cfg.enable_rgb:
-                    new_state["occ_grid_rgb"] = jax.lax.cond(
-                        do_update,
-                        lambda g: _upd(g, k_occ_c, False),
-                        lambda g: g, state["occ_grid_rgb"])
+            # NOTE: the occupancy-grid refresh is NOT in the step graph —
+            # a lax.cond false branch still cost its full ~150ms every step
+            # on TPU (XLA flattens/hoists the branch); the refresh runs as
+            # its own host-triggered dispatch at the instant-ngp cadence
+            # (see _maybe_update_occ / train_one_epoch).
             if cfg.enable_lidar:
                 new_state["error_map"] = state["error_map"].at[fi].set(
                     sampler.update_error_map(
@@ -582,7 +574,30 @@ class Trainer:
             parts = {k: v / len(order) for k, v in parts.items()}
         self.state["ema_params"] = self._update_ema(
             self.state["ema_params"], self.state["params"])
+        self._maybe_update_occ()
         return EpochStats(loss=tot / len(order), parts=parts)
+
+    def _maybe_update_occ(self):
+        """Refresh the occupancy grids if the step counter crossed the
+        update interval since the last refresh (one dispatch per grid)."""
+        cfg = self.cfg
+        if self.occ_spec is None or cfg.occ_update_interval <= 0:
+            return
+        tick = self.global_step // cfg.occ_update_interval
+        if tick == self._last_occ_update:
+            return
+        self._last_occ_update = tick
+        key = jax.random.PRNGKey(0xACC + self.global_step)
+        k_l, k_c = jax.random.split(key)
+        t = self.data["times"][0]
+        if "occ_grid_lidar" in self.state:
+            self.state["occ_grid_lidar"] = self._occ_update(
+                self.state["params"], self.state["occ_grid_lidar"], k_l, t,
+                True)
+        if "occ_grid_rgb" in self.state:
+            self.state["occ_grid_rgb"] = self._occ_update(
+                self.state["params"], self.state["occ_grid_rgb"], k_c, t,
+                False)
 
     def train(self, max_epochs: Optional[int] = None, log_fn=print):
         cfg = self.cfg
