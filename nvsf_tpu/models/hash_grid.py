@@ -25,9 +25,10 @@ Design notes (TPU-first):
     the table BEFORE the gather (a dense table-sized contraction, ~free),
     so each sample gathers ONE row of F/num_basis features instead of two
     rows of F: half the forward rows, quarter the backward sort payload.
-  - The three dynamic planes (xyt/xzt/yzt) and, in the pair variant, both
-    temporal warp queries are concatenated into a single gather / single
-    backward segment-sum.
+  - The three dynamic planes (xyt/xzt/yzt) AND all three temporal queries
+    (t plus both no-grad warp queries) share ONE fused gather
+    (``apply_dynamic_fused3``); a partial-grad VJP keeps the stop-grad
+    warp rows out of the backward segment-sum.
 """
 
 from __future__ import annotations

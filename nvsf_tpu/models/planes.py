@@ -61,10 +61,27 @@ def _bilinear_sample_fmajor(plane_flat: jnp.ndarray, H: int, W: int,
 
 
 # note: no rematerialization — only the single static-group query uses this
-# path now (the dynamic planes go through ops/timeplanes.py), and its corner
+# path now (the dynamic planes go through ops/multihot.py), and its corner
 # residuals (~400MB at 262k samples) fit HBM comfortably; the remat re-ran
 # all 48 corner gathers in the backward (~60ms/step)
 _bilinear_remat = _bilinear_sample_fmajor
+
+
+def _bilinear_cols_weights(u, v, H, W):
+    """Flat bilinear corner columns + weights (align_corners + border clamp,
+    matching ``_bilinear_sample_fmajor``): ([4, N] int32, [4, N] f32)."""
+    x = jnp.clip(u, 0.0, 1.0) * (W - 1)
+    y = jnp.clip(v, 0.0, 1.0) * (H - 1)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    wx = x - x0
+    wy = y - y0
+    cols = jnp.stack([y0 * W + x0, y0 * W + x1, y1 * W + x0, y1 * W + x1])
+    wts = jnp.stack([(1 - wx) * (1 - wy), wx * (1 - wy),
+                     (1 - wx) * wy, wx * wy])
+    return cols, wts
 
 
 def bilinear_sample(plane, u, v):
@@ -150,13 +167,67 @@ class Planes4DSpec:
             return dynamic
         return static, dynamic
 
+    # largest per-segment table the one-hot MXU sampler beats XLA
+    # gather+scatter for (see ops/multihot.py; MXU tile-ops scale with W)
+    MULTIHOT_MAX_W = 4096
+
     def apply(self, params, xt):
         """xt: [N, 4] in [0,1] -> (static [N, 32], dynamic [N, 32])."""
         return (self.apply_static(params, xt),
                 self.apply_dynamic(params, xt))
 
     def apply_static(self, params, xt):
-        return self._interp(params, xt, sample_only="static")
+        """Static (xy/xz/yz) group: coarse scales (tables <= MULTIHOT_MAX_W
+        slots) sample via the 4-corner one-hot MXU kernel (positions carry
+        no gradient here -> need_dw=False); fine scales keep XLA's fast
+        small-table bilinear gathers."""
+        from nvsf_tpu.ops.multihot import multihot_sample
+
+        S = len(self.multiscale_res)
+        F = self.output_dim
+        N = xt.shape[0]
+        coarse = [si for si in range(S)
+                  if max(self.plane_hw(si, ci)[0] * self.plane_hw(si, ci)[1]
+                         for ci in _STATIC) <= self.MULTIHOT_MAX_W]
+        fine = [si for si in range(S) if si not in coarse]
+
+        per_scale = {}
+        if coarse:
+            tables, cols, ws = [], [], []
+            for si in coarse:
+                for ci in _STATIC:
+                    a, b = _COO_COMBS[ci]
+                    H, W = self.plane_hw(si, ci)
+                    tables.append(jnp.pad(
+                        params[si][ci],
+                        ((0, 0), (0, self.MULTIHOT_MAX_W - H * W))))
+                    c4, w4 = _bilinear_cols_weights(xt[:, a], xt[:, b], H, W)
+                    cols.append(c4)
+                    ws.append(w4)
+            SP = len(tables)
+            pad = (-N) % 512
+            cols = jnp.pad(jnp.stack(cols).reshape(1, SP, 4, N),
+                           ((0, 0), (0, 0), (0, 0), (0, pad)))
+            ws = jnp.pad(jnp.stack(ws).reshape(1, SP, 4, N),
+                         ((0, 0), (0, 0), (0, 0), (0, pad)))
+            feats = multihot_sample(jnp.concatenate(tables, axis=1), cols,
+                                    ws, self.MULTIHOT_MAX_W, need_dw=False)
+            feats = feats[0, :, :, :N].reshape(len(coarse), len(_STATIC),
+                                               F, N)
+            feats = jnp.prod(feats, axis=1)              # [n_coarse, F, N]
+            for k, si in enumerate(coarse):
+                per_scale[si] = feats[k]
+        for si in fine:
+            feat = None
+            for ci in _STATIC:
+                a, b = _COO_COMBS[ci]
+                H, W = self.plane_hw(si, ci)
+                f = _bilinear_sample_fmajor(params[si][ci], H, W, xt[:, a],
+                                            xt[:, b])
+                feat = f if feat is None else feat * f
+            per_scale[si] = feat
+        out = jnp.concatenate([per_scale[si] for si in range(S)], axis=0)
+        return out.T                                     # [N, S*F]
 
     def apply_dynamic(self, params, xt):
         return self.apply_dynamic_multi(params, xt[None])[0]
@@ -164,10 +235,7 @@ class Planes4DSpec:
     # ------------------------------------------------------------------
     # dynamic (time) planes: scalar-t fold + MXU one-hot sampling
     # ------------------------------------------------------------------
-    def _dyn_widths(self):
-        return tuple(self.plane_hw(si, ci)[1]
-                     for si in range(len(self.multiscale_res))
-                     for ci in _DYNAMIC)
+    DYN_W_PAD = 256   # uniform folded-table lane width
 
     def apply_dynamic_multi(self, params, xts):
         """xts: [Q, N, 4] -> [Q, N, 32]: t-query + temporal-warp queries
@@ -176,16 +244,17 @@ class Planes4DSpec:
         The time coordinate is SCALAR per query, so the t-lerp of each
         (x/y/z, t) plane folds into its table rows, leaving a 1-D lerp over
         tiny (<=256-col) tables — computed as in-register one-hot matmuls
-        (``ops/timeplanes.py``): no gathers, no scatter backward. Gradients
+        (``ops/multihot.py``): no gathers, no scatter backward. Gradients
         reach the tables and, through the lerp weights, the warped
         positions (the flow field)."""
-        from nvsf_tpu.ops.timeplanes import W_PAD, timeplane_sample
+        from nvsf_tpu.ops.multihot import multihot_sample
 
         Q, N, _ = xts.shape
         F = self.output_dim
         S = len(self.multiscale_res)
+        W_PAD = self.DYN_W_PAD
 
-        folded, c0s, c1s, w0s, w1s = [], [], [], [], []
+        folded, cols, ws = [], [], []
         for q in range(Q):
             t = xts[q, 0, 3]
             for si in range(S):
@@ -207,23 +276,19 @@ class Planes4DSpec:
                     x0 = jnp.floor(x).astype(jnp.int32)
                     x1 = jnp.minimum(x0 + 1, W - 1)
                     wx = x - x0.astype(jnp.float32)
-                    c0s.append(x0)
-                    c1s.append(x1)
-                    w0s.append(1.0 - wx)
-                    w1s.append(wx)
+                    cols.append(jnp.stack([x0, x1]))
+                    ws.append(jnp.stack([1.0 - wx, wx]))
 
         tables = jnp.concatenate(folded, axis=1)        # [F, Q*12*W_PAD]
         SP = S * len(_DYNAMIC)
         pad = (-N) % 512
 
         def prep(parts, dtype):
-            x = jnp.stack(parts).reshape(Q, SP, N).astype(dtype)
-            return jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+            x = jnp.stack(parts).reshape(Q, SP, 2, N).astype(dtype)
+            return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pad)))
 
-        feats = timeplane_sample(tables, prep(c0s, jnp.int32),
-                                 prep(c1s, jnp.int32),
-                                 prep(w0s, jnp.float32),
-                                 prep(w1s, jnp.float32))  # [Q, 12, F, Np]
+        feats = multihot_sample(tables, prep(cols, jnp.int32),
+                                prep(ws, jnp.float32), W_PAD)
         feats = feats[..., :N].reshape(Q, S, len(_DYNAMIC), F, N)
         feats = jnp.prod(feats, axis=2)                 # [Q, S, F, N]
         # -> [Q, N, S*F] scale-major features
