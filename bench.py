@@ -60,6 +60,15 @@ JOINT = dict(tag="joint-8x4", num_rays_lidar=2048, num_rays=2048,
              num_steps_occ=128, enable_rgb=True, flow_loss=True,
              use_urf_loss=True, **_REF_ENC)
 
+# the honest rung has its OWN recovery ladder: a TPU-pool failure must not
+# silently drop the joint number from the bench tail (VERDICT r2 item 10)
+JOINT_LADDER = [
+    JOINT,
+    dict(JOINT, tag="joint-8x4-1024", num_rays_lidar=1024, num_rays=1024),
+    dict(JOINT, tag="joint-8x4-512", num_rays_lidar=512, num_rays=512,
+         num_steps_occ=96),
+]
+
 
 def _recoverable(err: Exception) -> bool:
     from nvsf_tpu.train.resilience import is_recoverable
@@ -158,46 +167,41 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    # ---- headline first (most-stable program); printed LAST ----
-    headline = None
-    last_err = None
-    for over in LADDER:
-        try:
-            tag, rays_per_sec = _run_config(over)
-            headline = {
-                "metric": f"train_rays_per_sec_per_chip[{tag}]",
-                "value": round(rays_per_sec, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(
-                    rays_per_sec / V100_BASELINE_RAYS_PER_SEC, 3),
-            }
-            # print as soon as measured (the secondary rungs can take many
-            # minutes of fresh compiles; a timeout must not lose this) —
-            # re-printed LAST for the driver's tail parse
-            print(json.dumps(headline), flush=True)
-            break
-        except Exception as e:
-            # only worker/pool failures walk down the ladder; programming
-            # errors (shape/type/trace) surface immediately
-            if not _recoverable(e):
-                raise
-            last_err = e
-            print(f"[bench] config {over['tag']} failed (recoverable): "
-                  f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
-            time.sleep(60)  # give the TPU pool time to recover
-    if headline is None:
-        raise SystemExit(f"all bench configs failed: {last_err}")
+    def run_ladder(ladder, label):
+        """Walk a recovery ladder; returns the first rung's JSON (or None).
+        Only worker/pool failures walk down; programming errors raise."""
+        last_err = None
+        for over in ladder:
+            try:
+                tag, rays_per_sec = _run_config(over)
+                rec = {
+                    "metric": f"train_rays_per_sec_per_chip[{tag}]",
+                    "value": round(rays_per_sec, 1),
+                    "unit": "rays/s",
+                    "vs_baseline": round(
+                        rays_per_sec / V100_BASELINE_RAYS_PER_SEC, 3),
+                }
+                # print as soon as measured (later rungs can take minutes
+                # of fresh compiles; a timeout must not lose this)
+                print(json.dumps(rec), flush=True)
+                return rec
+            except Exception as e:
+                if not _recoverable(e):
+                    raise
+                last_err = e
+                print(f"[bench] {label} config {over['tag']} failed "
+                      f"(recoverable): {type(e).__name__}: {str(e)[:200]}",
+                      file=sys.stderr)
+                time.sleep(60)  # give the TPU pool time to recover
+        print(f"[bench] all {label} configs failed: {last_err}",
+              file=sys.stderr)
+        return None
 
-    # ---- secondary metrics (never block the headline) ----
-    try:
-        tag, rps = _run_config(JOINT)
-        print(json.dumps({
-            "metric": f"train_rays_per_sec_per_chip[{tag}]",
-            "value": round(rps, 1), "unit": "rays/s",
-            "vs_baseline": round(rps / V100_BASELINE_RAYS_PER_SEC, 3)}))
-    except Exception as e:
-        print(f"[bench] joint rung failed: {type(e).__name__}: "
-              f"{str(e)[:200]}", file=sys.stderr)
+    # headline + the honest joint rung, each with its own recovery ladder
+    headline = run_ladder(LADDER, "headline")
+    joint = run_ladder(JOINT_LADDER, "joint")
+    if headline is None:
+        raise SystemExit("all headline bench configs failed")
 
     try:
         occ_rps, dense_rps = _run_render_bench()
@@ -211,6 +215,10 @@ def main():
         print(f"[bench] render bench failed: {type(e).__name__}: "
               f"{str(e)[:200]}", file=sys.stderr)
 
+    # tail always carries BOTH train rungs (joint alongside the headline;
+    # headline stays LAST for the driver's tail parse)
+    if joint is not None:
+        print(json.dumps(joint))
     print(json.dumps(headline))
 
 

@@ -175,11 +175,16 @@ class NVSFFieldSpec:
         return {"flow_forward": f[:, :3], "flow_backward": f[:, 3:]}
 
     def density(self, params, x, t, cal_lidar_color=False,
-                compute_dtype=jnp.float32):
+                compute_dtype=jnp.float32, skip_warp=False):
         """x: [N, 3] in [-bound, bound]; t scalar in [0, 1].
 
         Returns {"sigma": [N], "geo_feat": [N, geo_feat_dim]}
         (``network_dynamic.py:213-287``).
+
+        ``skip_warp=True`` drops the flow evaluation and the ±1-frame
+        temporal feature blend — a ~3x cheaper query used by the
+        occupancy-grid refresh, where sigma is only thresholded against a
+        decayed max (the render path always uses the full blend).
         """
         branch = "lidar" if cal_lidar_color else "camera"
         hash_p = params[f"hash_{branch}"]
@@ -193,6 +198,15 @@ class NVSFFieldSpec:
         hash_s = hspec.apply_static(hash_p, xn)
         tcol = jnp.full((xn.shape[0], 1), t)
         xt = jnp.concatenate([xn, tcol], axis=-1)
+
+        if skip_warp:
+            hash_d = hspec.apply_dynamic(hash_p, xn, t)
+            plane_s = pspec.apply_static(plane_p, xt)
+            plane_d = pspec.apply_dynamic(plane_p, xt)
+            h = self.sigma_spec.apply_blocks(
+                params["sigma_net"], [plane_s, plane_d, hash_s, hash_d],
+                compute_dtype).astype(jnp.float32)
+            return {"sigma": trunc_exp(h[..., 0]), "geo_feat": h[..., 1:]}
 
         flow = self.flow_spec.apply(params["flow"], xt, compute_dtype)
 
@@ -245,6 +259,116 @@ class NVSFFieldSpec:
             compute_dtype).astype(jnp.float32)
         sigma = trunc_exp(h[..., 0])
         return {"sigma": sigma, "geo_feat": h[..., 1:]}
+
+    def density_joint(self, params, x_l, x_c, t, compute_dtype=jnp.float32,
+                      x_flow_extra=None):
+        """Density for BOTH branches (LiDAR sample points ``x_l`` and camera
+        sample points ``x_c``, world coords in [-bound, bound], shared
+        scalar t) with CROSS-BRANCH FUSED encoder gathers.
+
+        The reference evaluates the two branches in separate render calls
+        (``network_dynamic.py:213-287`` invoked per modality from
+        ``trainer.py:193-200,491-499``); on TPU each un-fused encoder
+        family pays the measured ~2.5x per-row penalty of multiple gather
+        ops per program, so the joint step fuses per family:
+          - one static-hash gather over both branches' tables,
+          - one dynamic-hash gather over 2 branches x 3 temporal queries,
+          - one K-planes one-hot-MXU dispatch for statics and one for all
+            6 dynamic queries,
+          - one flow evaluation over the concatenated points (the flow net
+            is SHARED between branches, ``network_dynamic.py:117-122``),
+          - one shared sigma-net matmul batch.
+
+        ``x_flow_extra``: optional [E, 3] extra world points whose flow is
+        needed by the flow-consistency loss (``trainer.py:237-273``) — they
+        ride in the same flow gather/MLP batch for free.
+
+        Returns {"sigma_l", "geo_feat_l", "sigma_c", "geo_feat_c"[,
+        "flow_extra"]}.
+        """
+        hspec, pspec = self.hash_spec, self.planes_spec
+        p_hash = [params["hash_lidar"], params["hash_camera"]]
+        p_plane = [params["planes_lidar"], params["planes_camera"]]
+
+        N_l = x_l.shape[0]
+        N_c = x_c.shape[0]
+        xn_l = (x_l + self.bound) / (2 * self.bound)
+        xn_c = (x_c + self.bound) / (2 * self.bound)
+        t = jnp.asarray(t, jnp.float32).reshape(())
+        frame_idx = jnp.floor(t * (self.num_frames - 1))
+
+        hash_s_l, hash_s_c = hspec.apply_static_joint(p_hash, [xn_l, xn_c])
+
+        # one flow batch: both branches + any loss-side extra points
+        xn_all = jnp.concatenate([xn_l, xn_c], axis=0)
+        if x_flow_extra is not None:
+            xe = (x_flow_extra + self.bound) / (2 * self.bound)
+            xn_all = jnp.concatenate([xn_all, xe], axis=0)
+        tcol = jnp.full((xn_all.shape[0], 1), t)
+        xt_all = jnp.concatenate([xn_all, tcol], axis=-1)
+        flow_all = self.flow_spec.apply(params["flow"], xt_all,
+                                        compute_dtype)
+        flow_l = flow_all[:N_l]
+        flow_c = flow_all[N_l:N_l + N_c]
+        flow_extra = flow_all[N_l + N_c:] if x_flow_extra is not None \
+            else None
+
+        t1 = (frame_idx + 1) / self.num_frames
+        t2 = (frame_idx - 1) / self.num_frames
+        has_next = frame_idx < self.num_frames - 1
+        has_prev = frame_idx > 0
+        x1_l = xn_l + flow_l[:, :3]
+        x2_l = xn_l + flow_l[:, 3:]
+        x1_c = xn_c + flow_c[:, :3]
+        x2_c = xn_c + flow_c[:, 3:]
+
+        (hd_l, h1_l, h2_l), (hd_c, h1_c, h2_c) = \
+            hspec.apply_dynamic_fused3_joint(
+                p_hash, [(xn_l, x1_l, x2_l), (xn_c, x1_c, x2_c)], t, t1, t2)
+
+        xt_l = xt_all[:N_l]
+        xt_c = xt_all[N_l:N_l + N_c]
+        plane_s_l, plane_s_c = pspec.apply_static_joint(p_plane,
+                                                        [xt_l, xt_c])
+
+        def stack3(xn, x1, x2, N):
+            ts3 = jnp.stack([t, t1, t2])
+            tcols = ts3[:, None, None] * jnp.ones((3, N, 1))
+            xs = jnp.stack([xn, x1, x2])
+            return jnp.concatenate([xs, tcols], axis=-1)   # [3, N, 4]
+
+        pd3_l, pd3_c = pspec.apply_dynamic_multi_branches(
+            p_plane, [stack3(xn_l, x1_l, x2_l, N_l),
+                      stack3(xn_c, x1_c, x2_c, N_c)])
+
+        def blend(pd3, hd, h1, h2):
+            p_d, p_1, p_2 = pd3[0], pd3[1], pd3[2]
+            h1 = jnp.where(has_next, h1, hd)
+            p_1 = jnp.where(has_next, p_1, p_d)
+            h2 = jnp.where(has_prev, h2, hd)
+            p_2 = jnp.where(has_prev, p_2, p_d)
+            return (0.5 * p_d + 0.25 * (p_1 + p_2),
+                    0.5 * hd + 0.25 * (h1 + h2))
+
+        plane_d_l, hash_d_l = blend(pd3_l, hd_l, h1_l, h2_l)
+        plane_d_c, hash_d_c = blend(pd3_c, hd_c, h1_c, h2_c)
+
+        # shared sigma net over BOTH branches' samples in one matmul batch
+        # (batch-axis concat is cheap; lane-axis concat is what apply_blocks
+        # avoids)
+        blocks = [jnp.concatenate([plane_s_l, plane_s_c], axis=0),
+                  jnp.concatenate([plane_d_l, plane_d_c], axis=0),
+                  jnp.concatenate([hash_s_l, hash_s_c], axis=0),
+                  jnp.concatenate([hash_d_l, hash_d_c], axis=0)]
+        h = self.sigma_spec.apply_blocks(params["sigma_net"], blocks,
+                                         compute_dtype).astype(jnp.float32)
+        sigma = trunc_exp(h[..., 0])
+        out = {"sigma_l": sigma[:N_l], "geo_feat_l": h[:N_l, 1:],
+               "sigma_c": sigma[N_l:], "geo_feat_c": h[N_l:, 1:]}
+        if flow_extra is not None:
+            out["flow_extra"] = {"flow_forward": flow_extra[:, :3],
+                                 "flow_backward": flow_extra[:, 3:]}
+        return out
 
     def color(self, params, x, d, geo_feat, cal_lidar_color=False, mask=None,
               compute_dtype=jnp.float32):

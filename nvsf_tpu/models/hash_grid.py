@@ -318,6 +318,37 @@ class HashGrid4DSpec:
     def apply_static(self, params, x):
         return self.static_grid.apply(params["static"], x)
 
+    def apply_static_joint(self, params_list, x_list):
+        """Static 3D hash for SEVERAL branches (e.g. LiDAR + camera) in ONE
+        fused gather: per-branch tables are lane-concatenated and every
+        branch's corner columns offset into its segment. Multiple gather
+        ops in one XLA program measured ~2.5x slower per row than a single
+        fused gather on v5e, and the joint train step pays that per family
+        without this. Both branches' tables carry gradients (one backward
+        segment-sum over the concatenated width).
+
+        Matches the per-branch encoder selection of
+        ``network_dynamic.py:67-105`` with shared gather machinery.
+        Returns one [N_i, L*F] feature array per branch."""
+        gspec = self.static_grid
+        S = gspec.n_cols
+        cols_all, wcs, ns = [], [], []
+        for bi, x in enumerate(x_list):
+            cols, wc = gspec.level_cols_weights(x)
+            cols_all.append(cols + bi * S)
+            wcs.append(wc)
+            ns.append(cols.shape[0])
+        table = jnp.concatenate([p["static"] for p in params_list], axis=1)
+        vals = table_gather(table, jnp.concatenate(cols_all))
+        outs, p = [], 0
+        for wc, n in zip(wcs, ns):
+            L, C, N = wc.shape
+            v = vals[:, p:p + n].reshape(-1, L, C, N)
+            p += n
+            feat = jnp.sum(v * wc[None], axis=2)
+            outs.append(jnp.transpose(feat, (2, 1, 0)).reshape(N, -1))
+        return outs
+
     # ------------------------------------------------------------------
     def _dynamic_cols_weights(self, x):
         """Concatenated global columns + weights for the 3 dynamic planes."""
@@ -394,6 +425,57 @@ class HashGrid4DSpec:
         out1 = self._assemble(sg(vals[:, n:2 * n]), wcs1)
         out2 = self._assemble(sg(vals[:, 2 * n:]), wcs2)
         return out0, out1, out2
+
+    def apply_dynamic_fused3_joint(self, params_list, xs_list, t, t1, t2):
+        """``apply_dynamic_fused3`` for SEVERAL branches in ONE gather.
+
+        params_list: per-branch params; xs_list: per-branch (x, x1, x2)
+        query positions. Row order is [b0_t, b1_t, ..., b0_t1, b0_t2,
+        b1_t1, b1_t2, ...]: all gradient-carrying t-queries form the row
+        prefix and their tables the column prefix, so the existing
+        ``n_grad``/``grad_cols_T`` partial-grad VJP covers every branch
+        with one backward segment-sum. Warp queries stay stop-gradient
+        (reference ``torch.no_grad`` re-queries,
+        ``network_dynamic.py:245-271``).
+
+        Returns a list of (feat_t, feat_t1, feat_t2) per branch."""
+        sg = jax.lax.stop_gradient
+        B = len(params_list)
+        S = None
+        grad_cols, grad_tbls, grad_wcs, grad_ns = [], [], [], []
+        warp_cols, warp_tbls, warp_wcs, warp_ns = [], [], [], []
+        for bi, (params, (x, x1, x2)) in enumerate(zip(params_list,
+                                                       xs_list)):
+            cols0, wcs0 = self._dynamic_cols_weights(x)
+            tb0 = self._dynamic_folded(params, t)
+            if S is None:
+                S = tb0.shape[1]
+            grad_cols.append(cols0 + bi * S)
+            grad_tbls.append(tb0)
+            grad_wcs.append(wcs0)
+            grad_ns.append(cols0.shape[0])
+            for xw, tw in ((x1, t1), (x2, t2)):
+                colsw, wcsw = self._dynamic_cols_weights(sg(xw))
+                warp_cols.append(colsw)          # offset applied below
+                warp_tbls.append(sg(self._dynamic_folded(sg(params), tw)))
+                warp_wcs.append(wcsw)
+                warp_ns.append(colsw.shape[0])
+        # warp tables sit AFTER the B grad tables in the lane concat
+        warp_cols = [c + (B + wi) * S for wi, c in enumerate(warp_cols)]
+        table = jnp.concatenate(grad_tbls + warp_tbls, axis=1)
+        cols = jnp.concatenate(grad_cols + warp_cols)
+        n_grad = sum(grad_ns)
+        vals = table_gather(table, cols, n_grad=n_grad, grad_cols_T=B * S)
+        outs_t, p = [], 0
+        for wcs, n in zip(grad_wcs, grad_ns):
+            outs_t.append(self._assemble(vals[:, p:p + n], wcs))
+            p += n
+        outs_w = []
+        for wcs, n in zip(warp_wcs, warp_ns):
+            outs_w.append(self._assemble(sg(vals[:, p:p + n]), wcs))
+            p += n
+        return [(outs_t[bi], outs_w[2 * bi], outs_w[2 * bi + 1])
+                for bi in range(B)]
 
     def apply(self, params, x, t):
         return self.apply_static(params, x), self.apply_dynamic(params, x, t)

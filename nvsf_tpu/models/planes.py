@@ -232,6 +232,96 @@ class Planes4DSpec:
     def apply_dynamic(self, params, xt):
         return self.apply_dynamic_multi(params, xt[None])[0]
 
+    def apply_static_joint(self, params_list, xt_list):
+        """``apply_static`` for several branches sharing ONE one-hot-MXU
+        kernel call (coarse scales) and fused per-plane gathers over
+        lane-concatenated tables (fine scales). Returns one [N_i, S*F]
+        array per branch; all branches' tables carry gradients."""
+        from nvsf_tpu.ops.multihot import multihot_sample
+
+        B = len(params_list)
+        S = len(self.multiscale_res)
+        F = self.output_dim
+        ns = [xt.shape[0] for xt in xt_list]
+        Np = max(ns)
+        coarse = [si for si in range(S)
+                  if max(self.plane_hw(si, ci)[0] * self.plane_hw(si, ci)[1]
+                         for ci in _STATIC) <= self.MULTIHOT_MAX_W]
+        fine = [si for si in range(S) if si not in coarse]
+
+        per_branch_scale = [dict() for _ in range(B)]
+        if coarse:
+            tables, cols, ws = [], [], []
+            for bi in range(B):
+                for si in coarse:
+                    for ci in _STATIC:
+                        a, b = _COO_COMBS[ci]
+                        H, W = self.plane_hw(si, ci)
+                        tables.append(jnp.pad(
+                            params_list[bi][si][ci],
+                            ((0, 0), (0, self.MULTIHOT_MAX_W - H * W))))
+                        c4, w4 = _bilinear_cols_weights(
+                            xt_list[bi][:, a], xt_list[bi][:, b], H, W)
+                        cols.append(jnp.pad(c4, ((0, 0),
+                                                 (0, Np - ns[bi]))))
+                        ws.append(jnp.pad(w4, ((0, 0), (0, Np - ns[bi]))))
+            SP = len(tables)
+            pad = (-Np) % 512
+            cols = jnp.pad(jnp.stack(cols).reshape(1, SP, 4, Np),
+                           ((0, 0), (0, 0), (0, 0), (0, pad)))
+            ws = jnp.pad(jnp.stack(ws).reshape(1, SP, 4, Np),
+                         ((0, 0), (0, 0), (0, 0), (0, pad)))
+            feats = multihot_sample(jnp.concatenate(tables, axis=1), cols,
+                                    ws, self.MULTIHOT_MAX_W, need_dw=False)
+            feats = feats[0, :, :, :Np].reshape(B, len(coarse),
+                                                len(_STATIC), F, Np)
+            feats = jnp.prod(feats, axis=2)     # [B, n_coarse, F, Np]
+            for bi in range(B):
+                for k, si in enumerate(coarse):
+                    per_branch_scale[bi][si] = feats[bi, k, :, :ns[bi]]
+        for si in fine:
+            # one fused gather per plane across all branches: tables
+            # lane-concatenated, branch points offset into their segment
+            for ci in _STATIC:
+                a, b = _COO_COMBS[ci]
+                H, W = self.plane_hw(si, ci)
+                tbl = jnp.concatenate([p[si][ci] for p in params_list],
+                                      axis=1)              # [F, B*H*W]
+                us = jnp.concatenate([xt[:, a] for xt in xt_list])
+                vs = jnp.concatenate([xt[:, b] for xt in xt_list])
+                # branch offset enters via the flat column id: shift v by
+                # bi*H rows (tables stacked along columns = stacked rows
+                # of the H*W grid when concatenated on axis 1)
+                x = jnp.clip(us, 0.0, 1.0) * (W - 1)
+                y = jnp.clip(vs, 0.0, 1.0) * (H - 1)
+                x0 = jnp.floor(x).astype(jnp.int32)
+                y0 = jnp.floor(y).astype(jnp.int32)
+                x1 = jnp.minimum(x0 + 1, W - 1)
+                y1 = jnp.minimum(y0 + 1, H - 1)
+                wx = x - x0
+                wy = y - y0
+                off = jnp.concatenate([
+                    jnp.full((n,), bi * H * W, jnp.int32)
+                    for bi, n in enumerate(ns)])
+
+                def g(yy, xx):
+                    return tbl.at[:, yy * W + xx + off].get(
+                        mode="promise_in_bounds")
+                f = (g(y0, x0) * ((1 - wx) * (1 - wy))[None]
+                     + g(y0, x1) * (wx * (1 - wy))[None]
+                     + g(y1, x0) * ((1 - wx) * wy)[None]
+                     + g(y1, x1) * (wx * wy)[None])     # [F, sum_n]
+                p0 = 0
+                for bi, n in enumerate(ns):
+                    fb = f[:, p0:p0 + n]
+                    p0 += n
+                    cur = per_branch_scale[bi].get(si)
+                    per_branch_scale[bi][si] = fb if cur is None \
+                        else per_branch_scale[bi][si] * fb
+        return [jnp.concatenate([per_branch_scale[bi][si]
+                                 for si in range(S)], axis=0).T
+                for bi in range(B)]
+
     # ------------------------------------------------------------------
     # dynamic (time) planes: scalar-t fold + MXU one-hot sampling
     # ------------------------------------------------------------------
@@ -247,49 +337,77 @@ class Planes4DSpec:
         (``ops/multihot.py``): no gathers, no scatter backward. Gradients
         reach the tables and, through the lerp weights, the warped
         positions (the flow field)."""
+        return self.apply_dynamic_multi_branches([params], [xts])[0]
+
+    def apply_dynamic_multi_branches(self, params_list, xts_list):
+        """``apply_dynamic_multi`` for SEVERAL branches (one params + one
+        [Q_i, N_i, 4] query stack each) sharing ONE one-hot-MXU kernel
+        call — the joint LiDAR+camera step folds all 6 temporal queries
+        into a single sampler dispatch. Returns one [Q_i, N_i, 32] array
+        per branch."""
         from nvsf_tpu.ops.multihot import multihot_sample
 
-        Q, N, _ = xts.shape
+        B = len(params_list)
         F = self.output_dim
         S = len(self.multiscale_res)
         W_PAD = self.DYN_W_PAD
+        qs = [xts.shape[0] for xts in xts_list]
+        ns = [xts.shape[1] for xts in xts_list]
+        Np = max(ns)
 
         folded, cols, ws = [], [], []
-        for q in range(Q):
-            t = xts[q, 0, 3]
-            for si in range(S):
-                for ci in _DYNAMIC:
-                    a, _b = _COO_COMBS[ci]
-                    H, W = self.plane_hw(si, ci)
-                    # fold the scalar-t lerp into the table rows
-                    y = jnp.clip(t, 0.0, 1.0) * (H - 1)
-                    y0 = jnp.floor(y).astype(jnp.int32)
-                    y1 = jnp.minimum(y0 + 1, H - 1)
-                    wy = (y - y0.astype(jnp.float32))[None, None]
-                    tbl = params[si][ci]                      # [F, H*W]
-                    r0 = jax.lax.dynamic_slice(tbl, (0, y0 * W), (F, W))
-                    r1 = jax.lax.dynamic_slice(tbl, (0, y1 * W), (F, W))
-                    folded.append(jnp.pad((1.0 - wy) * r0 + wy * r1,
-                                          ((0, 0), (0, W_PAD - W))))
-                    # per-sample x lerp
-                    x = jnp.clip(xts[q, :, a], 0.0, 1.0) * (W - 1)
-                    x0 = jnp.floor(x).astype(jnp.int32)
-                    x1 = jnp.minimum(x0 + 1, W - 1)
-                    wx = x - x0.astype(jnp.float32)
-                    cols.append(jnp.stack([x0, x1]))
-                    ws.append(jnp.stack([1.0 - wx, wx]))
+        for bi in range(B):
+            params, xts = params_list[bi], xts_list[bi]
+            for q in range(qs[bi]):
+                t = xts[q, 0, 3]
+                for si in range(S):
+                    for ci in _DYNAMIC:
+                        a, _b = _COO_COMBS[ci]
+                        H, W = self.plane_hw(si, ci)
+                        assert W <= W_PAD, (
+                            f"dynamic plane (scale {si}, plane {ci}) "
+                            f"spatial width {W} exceeds the one-hot "
+                            f"sampler width DYN_W_PAD={W_PAD}; reduce "
+                            f"resolution x multiscale factor or raise "
+                            f"Planes4DSpec.DYN_W_PAD")
+                        # fold the scalar-t lerp into the table rows
+                        y = jnp.clip(t, 0.0, 1.0) * (H - 1)
+                        y0 = jnp.floor(y).astype(jnp.int32)
+                        y1 = jnp.minimum(y0 + 1, H - 1)
+                        wy = (y - y0.astype(jnp.float32))[None, None]
+                        tbl = params[si][ci]                  # [F, H*W]
+                        r0 = jax.lax.dynamic_slice(tbl, (0, y0 * W), (F, W))
+                        r1 = jax.lax.dynamic_slice(tbl, (0, y1 * W), (F, W))
+                        folded.append(jnp.pad((1.0 - wy) * r0 + wy * r1,
+                                              ((0, 0), (0, W_PAD - W))))
+                        # per-sample x lerp
+                        x = jnp.clip(xts[q, :, a], 0.0, 1.0) * (W - 1)
+                        x0 = jnp.floor(x).astype(jnp.int32)
+                        x1 = jnp.minimum(x0 + 1, W - 1)
+                        wx = x - x0.astype(jnp.float32)
+                        npad = Np - ns[bi]
+                        cols.append(jnp.pad(jnp.stack([x0, x1]),
+                                            ((0, 0), (0, npad))))
+                        ws.append(jnp.pad(jnp.stack([1.0 - wx, wx]),
+                                          ((0, 0), (0, npad))))
 
-        tables = jnp.concatenate(folded, axis=1)        # [F, Q*12*W_PAD]
+        tables = jnp.concatenate(folded, axis=1)     # [F, sumQ*12*W_PAD]
         SP = S * len(_DYNAMIC)
-        pad = (-N) % 512
+        Qt = sum(qs)
+        pad = (-Np) % 512
 
         def prep(parts, dtype):
-            x = jnp.stack(parts).reshape(Q, SP, 2, N).astype(dtype)
+            x = jnp.stack(parts).reshape(Qt, SP, 2, Np).astype(dtype)
             return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pad)))
 
         feats = multihot_sample(tables, prep(cols, jnp.int32),
                                 prep(ws, jnp.float32), W_PAD)
-        feats = feats[..., :N].reshape(Q, S, len(_DYNAMIC), F, N)
-        feats = jnp.prod(feats, axis=2)                 # [Q, S, F, N]
-        # -> [Q, N, S*F] scale-major features
-        return jnp.transpose(feats.reshape(Q, S * F, N), (0, 2, 1))
+        feats = feats[..., :Np].reshape(Qt, S, len(_DYNAMIC), F, Np)
+        feats = jnp.prod(feats, axis=2)              # [Qt, S, F, Np]
+        # -> [Qt, Np, S*F] scale-major features
+        feats = jnp.transpose(feats.reshape(Qt, S * F, Np), (0, 2, 1))
+        outs, q0 = [], 0
+        for bi in range(B):
+            outs.append(feats[q0:q0 + qs[bi], :ns[bi]])
+            q0 += qs[bi]
+        return outs

@@ -87,10 +87,16 @@ def chamfer_distance(a, b, a_mask=None, b_mask=None, block_m: int = 4096,
     return d1, d2
 
 
-def chamfer_loss(a, b, a_mask=None, b_mask=None, block_m: int = 4096):
+def chamfer_loss(a, b, a_mask=None, b_mask=None, block_m: int = 4096,
+                 use_pallas: bool = False):
     """Mean symmetric chamfer: ``(dist1 + dist2).mean() * 0.5`` with proper
-    masked means."""
-    d1, d2 = chamfer_distance(a, b, a_mask, b_mask, block_m)
+    masked means.
+
+    ``use_pallas`` defaults to False (unlike ``chamfer_distance``): this is
+    a LOSS helper, and the Pallas kernel is gradient-free — the XLA path
+    keeps the autodiff min-subgradient for use inside ``jax.grad``."""
+    d1, d2 = chamfer_distance(a, b, a_mask, b_mask, block_m,
+                              use_pallas=use_pallas)
     if a_mask is None:
         m1 = d1.mean()
     else:

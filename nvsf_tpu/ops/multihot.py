@@ -82,6 +82,9 @@ def _make_op(Q, S, C, Np, F, W, use_pallas, need_dw=True):
                              4 * (W * _CH * 3 + F * total * 2)))
 
     def xla_path(tables, cols, ws):
+        if not need_dw:
+            # match the Pallas path's VJP semantics: zero weight gradients
+            ws = jax.lax.stop_gradient(ws)
         seg = (jnp.arange(Q * S, dtype=jnp.int32) * W).reshape(Q, S, 1, 1)
         g = (cols + seg).reshape(-1)
         v = tables.at[:, g].get(mode="promise_in_bounds")   # [F, Q*S*C*Np]

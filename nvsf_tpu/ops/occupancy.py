@@ -31,8 +31,12 @@ import jax.numpy as jnp
 class OccupancyGridSpec:
     grid_size: int = 128
     bound: float = 1.0
-    decay: float = 0.6            # density decay per update (empty cells
-                                  # clear within ~10 updates from init)
+    decay: float = 0.8            # density decay per update. Gentle by
+                                  # design: with stratified time sampling a
+                                  # moving object's cell is re-confirmed
+                                  # only every few refreshes, and its peak
+                                  # sigma must survive the misses
+                                  # (0.8^8 ~ 0.17 of peak vs 0.6^8 ~ 0.017)
     update_fraction: int = 4      # update G^3 / 4 random cells per update
     init_density: float = 32.0    # start occupied; decays below thresh ~1
                                   # after log(init/thresh)/log(1/decay) upd.
@@ -61,10 +65,18 @@ class OccupancyGridSpec:
         return (u * 2.0 - 1.0) * self.bound
 
     def update(self, grid, key, density_fn, thresh=0.01,
-               query_chunk: int = 32768):
+               query_chunk: int = 32768, times=None):
         """EMA-update a random subset of cells with fresh field densities
         (instant-ngp schedule; replaces ``update_extra_state`` of the
-        torch-ngp lineage). density_fn: [M, 3] -> [M] sigma.
+        torch-ngp lineage). density_fn: [M, 3] -> [M] sigma, or
+        ([M, 3], t) -> [M] when ``times`` is given.
+
+        ``times``: [S] scalar query times. The scene is DYNAMIC, so a cell
+        must stay occupied if it is occupied at ANY time (the grid culls
+        renders at every t); each refreshed cell is queried at all S times
+        and the max sigma taken — the union-over-time occupancy. Times must
+        be scalars per query batch (the encoders fold scalar t into their
+        tables), hence a small stratified batch rather than per-cell times.
 
         Queries run in fixed-size chunks under lax.map: the field's density
         (with its temporal-warp fan-out) over G^3/fraction cells in one shot
@@ -77,14 +89,23 @@ class OccupancyGridSpec:
         jitter = (jax.random.uniform(k_jit, pos.shape) - 0.5) \
             * (2.0 * self.bound / G)
         pts = pos + jitter
-        if M > query_chunk:
-            nc = -(-M // query_chunk)
-            pad = nc * query_chunk - M
-            pts_p = jnp.pad(pts, ((0, pad), (0, 0))) \
-                .reshape(nc, query_chunk, 3)
-            sigma = jax.lax.map(density_fn, pts_p).reshape(-1)[:M]
+
+        def query_all(fn):
+            if M > query_chunk:
+                nc = -(-M // query_chunk)
+                pad = nc * query_chunk - M
+                pts_p = jnp.pad(pts, ((0, pad), (0, 0))) \
+                    .reshape(nc, query_chunk, 3)
+                return jax.lax.map(fn, pts_p).reshape(-1)[:M]
+            return fn(pts)
+
+        if times is None:
+            sigma = query_all(density_fn)
         else:
-            sigma = density_fn(pts)
+            times = jnp.asarray(times, jnp.float32).reshape(-1)
+            sigma = jax.lax.map(
+                lambda t: query_all(lambda p: density_fn(p, t)),
+                times).max(axis=0)
         flat = grid.reshape(-1)
         old = flat[cells]
         new = jnp.maximum(old * self.decay, sigma)

@@ -56,3 +56,45 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
+
+
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s64": 8,
+                "s32": 4, "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1,
+                "pred": 1}
+
+
+def collective_stats(compiled) -> dict:
+    """Collective-op counts + payload bytes from a compiled executable's
+    HLO — the comm evidence for the sharded step (SURVEY §2.3: grads ride
+    an ICI all-reduce; eval gathers mirror ``trainer.py:1506-1524``).
+
+    Returns {op_kind: {"count": n, "bytes": payload}} for all-reduce /
+    all-gather / reduce-scatter / collective-permute / all-to-all, plus
+    per-device flops under "flops"."""
+    import re
+
+    text = compiled.as_text()
+    stats = {}
+    pat = re.compile(
+        r"^\s*(?:ROOT\s+)?\S+\s*=\s*((?:\([^)]*\)|\S+?))\s+"
+        r"(all-reduce|all-gather|reduce-scatter|collective-permute|"
+        r"all-to-all)(?:-start)?\(", re.M)
+    for m in pat.finditer(text):
+        shape_s, kind = m.group(1), m.group(2)
+        nbytes = 0
+        for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", shape_s):
+            if dt not in _DTYPE_BYTES:
+                continue
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            nbytes += n * _DTYPE_BYTES[dt]
+        ent = stats.setdefault(kind, {"count": 0, "bytes": 0})
+        ent["count"] += 1
+        ent["bytes"] += nbytes
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    stats["flops"] = float(cost.get("flops", 0.0)) if cost else 0.0
+    return stats

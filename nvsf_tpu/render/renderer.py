@@ -289,6 +289,116 @@ class RendererSpec:
                 "weights": weights, "z_vals": z_vals}
 
     # ------------------------------------------------------------------
+    def run_joint(self, params, ro_l, rd_l, ro_c, rd_c, time, *,
+                  perturb=False, key=None, bg_color=None, occ_spec=None,
+                  occ_grid_l=None, occ_grid_c=None, num_steps_occ=None,
+                  occ_thresh: float = 0.01, x_flow_extra=None):
+        """Render a LiDAR ray batch AND a camera ray batch in ONE pass with
+        cross-branch fused encoder gathers (``NVSFFieldSpec.density_joint``).
+
+        The reference renders the two modalities in separate ``run`` calls
+        per train step (``trainer.py:193-200,491-499``); fusing them halves
+        the number of (row-rate-bound) encoder gather dispatches and
+        doubles the shared sigma-net matmul batch. Quadrature per branch is
+        identical to ``run``/``run_occupancy``.
+
+        Returns (lidar_out, camera_out[, extra]) — the two usual output
+        dicts; ``extra["flow_extra"]`` carries flow for ``x_flow_extra``
+        loss points when given.
+        """
+        N_l, N_c = ro_l.shape[0], ro_c.shape[0]
+        T = self.num_steps
+        aabb = self.aabb
+        use_occ = occ_spec is not None and occ_grid_l is not None
+        K = num_steps_occ if use_occ else T
+
+        nears_l = jnp.full((N_l, 1), self.min_near_lidar, jnp.float32)
+        fars_l = jnp.full((N_l, 1), self.lidar_max_depth, jnp.float32)
+        nears_c, fars_c = near_far_from_aabb(ro_c, rd_c, aabb, self.min_near)
+        nears_c, fars_c = nears_c[:, None], fars_c[:, None]
+
+        z_tmpl = jnp.linspace(0.0, 1.0, T, dtype=jnp.float32)[None, :]
+        z_l = nears_l + (fars_l - nears_l) * z_tmpl
+        z_c = nears_c + (fars_c - nears_c) * z_tmpl
+        sd_l = (fars_l - nears_l) / T
+        sd_c = (fars_c - nears_c) / T
+        if perturb:
+            assert key is not None, "perturb=True requires a PRNG key"
+            key, kl, kc = jax.random.split(key, 3)
+            z_l = z_l + (jax.random.uniform(kl, z_l.shape) - 0.5) * sd_l
+            z_c = z_c + (jax.random.uniform(kc, z_c.shape) - 0.5) * sd_c
+
+        if use_occ:
+            z_l, valid_l = occ_spec.compact_samples(occ_grid_l, ro_l, rd_l,
+                                                    z_l, K, occ_thresh)
+            z_c, valid_c = occ_spec.compact_samples(occ_grid_c, ro_c, rd_c,
+                                                    z_c, K, occ_thresh)
+        else:
+            valid_l = valid_c = None
+
+        xyz_l = ro_l[:, None, :] + rd_l[:, None, :] * z_l[..., None]
+        xyz_c = ro_c[:, None, :] + rd_c[:, None, :] * z_c[..., None]
+        xyz_l = jnp.clip(xyz_l, aabb[:3], aabb[3:])
+        xyz_c = jnp.clip(xyz_c, aabb[:3], aabb[3:])
+
+        dout = self.field.density_joint(
+            params, xyz_l.reshape(-1, 3), xyz_c.reshape(-1, 3), time,
+            compute_dtype=self._cdtype, x_flow_extra=x_flow_extra)
+
+        exponent = 2.0 if self.active_sensor else 1.0
+
+        def composite(N, z_vals, sample_dist, valid, sigmas, geo_feat,
+                      xyzs, rays_d, lidar):
+            deltas = z_vals[..., 1:] - z_vals[..., :-1]
+            deltas = jnp.concatenate(
+                [deltas, jnp.broadcast_to(sample_dist, (N, 1))], axis=-1)
+            if valid is not None:
+                deltas = jnp.clip(deltas, 0.0,
+                                  2.0 * sample_dist * (T / K))
+                sigmas = jnp.where(valid, sigmas, 0.0)
+            alphas = 1.0 - jnp.exp(-exponent * deltas * self.density_scale
+                                   * sigmas)
+            trans = jnp.cumprod(
+                jnp.concatenate([jnp.ones((N, 1)), 1.0 - alphas + 1e-15],
+                                -1), axis=-1)[:, :-1]
+            weights = alphas * trans
+            dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
+            mask = (weights > 1e-4)
+            if valid is not None:
+                mask = mask & valid
+            rgbs = self.field.color(params, xyzs.reshape(-1, 3),
+                                    dirs.reshape(-1, 3), geo_feat,
+                                    cal_lidar_color=lidar,
+                                    mask=mask.reshape(-1),
+                                    compute_dtype=self._cdtype)
+            rgbs = rgbs.reshape(N, K, -1)
+            weights_sum = weights.sum(axis=-1)
+            depth = jnp.sum(weights * z_vals, axis=-1)
+            image = jnp.sum(weights[..., None] * rgbs, axis=-2)
+            return depth, image, weights_sum, weights
+
+        sig_l = dout["sigma_l"].reshape(N_l, K)
+        sig_c = dout["sigma_c"].reshape(N_c, K)
+        d_l, img_l, ws_l, w_l = composite(N_l, z_l, sd_l, valid_l, sig_l,
+                                          dout["geo_feat_l"], xyz_l, rd_l,
+                                          True)
+        d_c, img_c, ws_c, w_c = composite(N_c, z_c, sd_c, valid_c, sig_c,
+                                          dout["geo_feat_c"], xyz_c, rd_c,
+                                          False)
+        if bg_color is None:
+            bg_color = 1.0
+        img_c = img_c + (1.0 - ws_c)[..., None] * bg_color
+
+        out_l = {"depth_lidar": d_l, "image_lidar": img_l,
+                 "weights_sum_lidar": ws_l, "weights": w_l, "z_vals": z_l}
+        out_c = {"depth": d_c, "image": img_c, "weights_sum": ws_c,
+                 "weights": w_c, "z_vals": z_c}
+        extra = {}
+        if "flow_extra" in dout:
+            extra["flow_extra"] = dout["flow_extra"]
+        return out_l, out_c, extra
+
+    # ------------------------------------------------------------------
     def run_occupancy_stream(self, params, rays_o, rays_d, time, occ_spec,
                              occ_grid, *, num_steps_occ: int,
                              cal_lidar_color=False, bg_color=None,
@@ -329,10 +439,38 @@ class RendererSpec:
 
         z_vals, valid = occ_spec.compact_samples(
             occ_grid, rays_o, rays_d, z_cand, K, occ_thresh)     # [N, K]
+        depth, image, weights_sum = self._stream_composite(
+            params, rays_o, rays_d, time, z_vals, valid, sample_dist,
+            cal_lidar_color=cal_lidar_color, slab=S, trans_eps=trans_eps)
+
+        if not cal_lidar_color:
+            if bg_color is None:
+                bg_color = 1.0
+            image = image + (1.0 - weights_sum)[..., None] * bg_color
+            return {"depth": depth, "image": image,
+                    "weights_sum": weights_sum}
+        return {"depth_lidar": depth, "image_lidar": image,
+                "weights_sum_lidar": weights_sum}
+
+    def _stream_composite(self, params, rays_o, rays_d, time, z_vals, valid,
+                          sample_dist, *, cal_lidar_color, slab,
+                          trans_eps=1e-4):
+        """Early-exit slab compositor over PRE-COMPACTED samples.
+
+        The while_loop stops when every ray is dead — transmittance below
+        ``trans_eps`` OR no valid (occupied) samples left ahead. The second
+        clause is what lets empty/sky rays (m=0 valid samples, whose
+        transmittance never decays) exit immediately instead of paying
+        every slab (the r2 straggler cost)."""
+        N, K = z_vals.shape
+        T = self.num_steps
+        S = slab
+        aabb = self.aabb
         deltas = z_vals[..., 1:] - z_vals[..., :-1]
         deltas = jnp.concatenate(
             [deltas, jnp.broadcast_to(sample_dist, (N, 1))], axis=-1)
         deltas = jnp.clip(deltas, 0.0, 2.0 * sample_dist * (T / K))
+        m = valid.sum(axis=-1).astype(jnp.int32)                 # [N]
         exponent = 2.0 if self.active_sensor else 1.0
         out_dim = 2 if cal_lidar_color else 3
 
@@ -369,7 +507,8 @@ class RendererSpec:
 
         def slab_cond(carry):
             i, trans = carry[0], carry[1]
-            return (i < K // S) & (jnp.max(trans) > trans_eps)
+            alive = (trans > trans_eps) & (m > i * S)
+            return (i < K // S) & jnp.any(alive)
 
         init = (jnp.int32(0), jnp.ones((N,), jnp.float32),
                 jnp.zeros((N,), jnp.float32),
@@ -377,15 +516,99 @@ class RendererSpec:
                 jnp.zeros((N,), jnp.float32))
         _, _, depth, image, weights_sum = jax.lax.while_loop(
             slab_cond, slab_body, init)
+        return depth, image, weights_sum
 
-        if not cal_lidar_color:
-            if bg_color is None:
-                bg_color = 1.0
-            image = image + (1.0 - weights_sum)[..., None] * bg_color
-            return {"depth": depth, "image": image,
-                    "weights_sum": weights_sum}
-        return {"depth_lidar": depth, "image_lidar": image,
-                "weights_sum_lidar": weights_sum}
+    # ------------------------------------------------------------------
+    def _render_staged_occ(self, params, rays_o, rays_d, time, occ_spec,
+                           occ_grid, K, occ_thresh, cal_lidar_color,
+                           bg_color, slab: int = 32,
+                           compact_chunk: int = 8192):
+        """Full-frame occupancy render with OCCUPANCY-SORTED chunking.
+
+        The r2 marcher early-exited per 4096-ray chunk on
+        ``max(transmittance)``: one straggler ray kept its whole chunk
+        paying every slab, and sky rays (no occupied samples, trans ~ 1)
+        were permanent stragglers. Here the sample compaction runs ONCE
+        for all rays (chunked, grid lookups only — no field queries), rays
+        are sorted by their occupied-sample count m, and the early-exit
+        marcher gets HOMOGENEOUS chunks: sky chunks exit after zero slabs,
+        surface chunks after their shared first surface. Outputs are
+        unsorted back at the end. Mirrors the alive-ray compaction loop of
+        the reference (``raymarching.cu:809-1077``) at chunk granularity.
+        """
+        N = rays_o.shape[0]
+        T = self.num_steps
+        aabb = self.aabb
+        S = min(slab, K)
+        if cal_lidar_color:
+            nears = jnp.full((N, 1), self.min_near_lidar, jnp.float32)
+            fars = jnp.full((N, 1), self.lidar_max_depth, jnp.float32)
+        else:
+            nears, fars = near_far_from_aabb(rays_o, rays_d, aabb,
+                                             self.min_near)
+            nears, fars = nears[:, None], fars[:, None]
+        sample_dist = (fars - nears) / T                          # [N, 1]
+
+        CC = min(compact_chunk, N)
+        ncc = -(-N // CC)
+        padc = ncc * CC - N
+        ro_p = jnp.pad(rays_o, ((0, padc), (0, 0)))
+        rd_p = jnp.pad(rays_d, ((0, padc), (0, 0)), constant_values=1.0)
+        nr_p = jnp.pad(nears, ((0, padc), (0, 0)))
+        fr_p = jnp.pad(fars, ((0, padc), (0, 0)), constant_values=1.0)
+        lin = jnp.linspace(0.0, 1.0, T, dtype=jnp.float32)[None, :]
+
+        def comp_chunk(args):
+            o, d, nr, fr = args
+            z = nr + (fr - nr) * lin
+            return occ_spec.compact_samples(occ_grid, o, d, z, K,
+                                            occ_thresh)
+
+        z_sel, valid = jax.lax.map(
+            comp_chunk, (ro_p.reshape(ncc, CC, 3), rd_p.reshape(ncc, CC, 3),
+                         nr_p.reshape(ncc, CC, 1), fr_p.reshape(ncc, CC, 1)))
+        Np = ncc * CC
+        z_sel = z_sel.reshape(Np, K)
+        valid = valid.reshape(Np, K) \
+            & (jnp.arange(Np) < N)[:, None]                      # kill pads
+        m = valid.sum(axis=-1)
+
+        # sort rays by occupied count -> homogeneous early-exit chunks
+        order = jnp.argsort(m)
+        inv = jnp.argsort(order)
+        C = min(self.max_ray_batch, Np)
+        nch = -(-Np // C)
+        pad2 = nch * C - Np
+        def sort_pad(a, fill=0.0):
+            a = a[order]
+            return jnp.pad(a, ((0, pad2),) + ((0, 0),) * (a.ndim - 1),
+                           constant_values=fill)
+        ro_s = sort_pad(ro_p).reshape(nch, C, 3)
+        rd_s = sort_pad(rd_p, 1.0).reshape(nch, C, 3)
+        z_s = sort_pad(z_sel).reshape(nch, C, K)
+        v_s = sort_pad(valid, False).reshape(nch, C, K)
+        sd_s = sort_pad(jnp.pad(sample_dist, ((0, padc), (0, 0)),
+                                constant_values=1.0)).reshape(nch, C, 1)
+
+        out_dim = 2 if cal_lidar_color else 3
+
+        def chunk_fn(args):
+            o, d, z, v, sd = args
+            return self._stream_composite(
+                params, o, d, time, z, v, sd,
+                cal_lidar_color=cal_lidar_color, slab=S)
+
+        depth, image, wsum = jax.lax.map(chunk_fn,
+                                         (ro_s, rd_s, z_s, v_s, sd_s))
+        depth = depth.reshape(-1)[:Np][inv][:N]
+        image = image.reshape(-1, out_dim)[:Np][inv][:N]
+        wsum = wsum.reshape(-1)[:Np][inv][:N]
+        if cal_lidar_color:
+            return {"depth_lidar": depth, "image_lidar": image}
+        if bg_color is None:
+            bg_color = 1.0
+        image = image + (1.0 - wsum)[..., None] * bg_color
+        return {"depth": depth, "image": image}
 
     # ------------------------------------------------------------------
     def _importance_resample(self, params, rays_o, rays_d, time, z_vals,
@@ -436,6 +659,11 @@ class RendererSpec:
                             cal_lidar_color=cal_lidar_color, perturb=perturb,
                             key=key, bg_color=bg_color)
 
+        if use_occ:
+            return self._render_staged_occ(
+                params, rays_o, rays_d, time, occ_spec, occ_grid,
+                num_steps_occ, occ_thresh, cal_lidar_color, bg_color)
+
         N = rays_o.shape[0]
         C = min(self.max_ray_batch, N)
         n_chunks = -(-N // C)
@@ -446,15 +674,9 @@ class RendererSpec:
 
         def chunk_fn(args):
             o, d = args
-            if use_occ:
-                r = self.run_occupancy_stream(
-                    params, o, d, time, occ_spec, occ_grid,
-                    num_steps_occ=num_steps_occ, occ_thresh=occ_thresh,
-                    cal_lidar_color=cal_lidar_color, bg_color=bg_color)
-            else:
-                r = self.run(params, o, d, time,
-                             cal_lidar_color=cal_lidar_color, perturb=False,
-                             bg_color=bg_color)
+            r = self.run(params, o, d, time,
+                         cal_lidar_color=cal_lidar_color, perturb=False,
+                         bg_color=bg_color)
             if cal_lidar_color:
                 return r["depth_lidar"], r["image_lidar"]
             return r["depth"], r["image"]

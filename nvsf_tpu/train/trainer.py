@@ -148,6 +148,7 @@ class Trainer:
             from nvsf_tpu.ops.occupancy import OccupancyGridSpec
             self.occ_spec = OccupancyGridSpec(
                 grid_size=cfg.occ_grid_size, bound=cfg.bound,
+                decay=cfg.occ_decay,
                 update_fraction=cfg.occ_update_fraction)
 
         # ---------------- train state ----------------
@@ -210,14 +211,18 @@ class Trainer:
         # the step graph — a lax.cond false branch still pays its full cost
         # every step on TPU)
         if self.occ_spec is not None:
-            def _occ_upd(params, grid, kk, t, lidar):
+            def _occ_upd(params, grid, kk, ts, lidar):
+                # warp-free density: ~3x cheaper per refresh; occupancy
+                # only thresholds sigma against a decayed max
                 return self.occ_spec.update(
                     grid, kk,
-                    lambda p: self.field.density(
-                        params, p, t, cal_lidar_color=lidar)["sigma"],
-                    thresh=cfg.occ_thresh)
+                    lambda p, t: self.field.density(
+                        params, p, t, cal_lidar_color=lidar,
+                        skip_warp=True)["sigma"],
+                    thresh=cfg.occ_thresh, times=ts)
             self._occ_update = jax.jit(_occ_upd, static_argnums=(4,))
             self._last_occ_update = -1
+            self._occ_refresh_count = 0
         self._eval_lidar = jax.jit(self._render_frame_lidar)
         self._eval_camera = jax.jit(self._render_frame_camera)
         self._render_cache = {}
@@ -294,6 +299,8 @@ class Trainer:
             "alpha_grad": cfg.alpha_grad,
         }
 
+        joint = cfg.enable_lidar and cfg.enable_rgb and cfg.joint_fusion
+
         def step_fn(state, fi):
             key = state["key"]
             key, k_li, k_ci, k_pl, k_pc, k_bg = jax.random.split(key, 6)
@@ -303,7 +310,7 @@ class Trainer:
             def loss_fn(params):
                 total = 0.0
                 aux = {}
-                # ------------------- LiDAR branch -------------------
+                # ---------------- ray sampling (both branches) ----------
                 if cfg.enable_lidar:
                     em = (state["error_map"][fi] if use_error_map else None)
                     inds = sampler.sample_indices(
@@ -318,21 +325,88 @@ class Trainer:
                     if self.mesh is not None:
                         from nvsf_tpu.parallel.mesh import shard_rays
                         ro, rd, gt = shard_rays(self.mesh, ro, rd, gt)
+                if cfg.enable_rgb:
+                    em_c = (state["error_map_rgb"][fi] if use_error_map
+                            else None)
+                    inds_c = sampler.sample_indices(
+                        k_ci, H, W, cfg.num_rays,
+                        patch_size=cfg.patch_size,
+                        error_map=em_c, use_error_map=use_error_map)
+                    pose_c = data["poses"][fi]
+                    ro_c, rd_c = raylib.get_camera_rays(
+                        pose_c, inds_c, H, W, data["intrinsics"])
+                    gt_rgb = data["images_flat"][fi][inds_c]
+                    if cfg.color_space == "linear":
+                        from nvsf_tpu.lib.color import srgb_to_linear
+                        gt_rgb = gt_rgb.at[..., :3].set(
+                            srgb_to_linear(gt_rgb[..., :3]))
+                    if self.mesh is not None:
+                        from nvsf_tpu.parallel.mesh import shard_rays
+                        ro_c, rd_c, gt_rgb = shard_rays(self.mesh, ro_c,
+                                                        rd_c, gt_rgb)
+                    if gt_rgb.shape[-1] == 4:
+                        bg = jax.random.uniform(k_bg, (cfg.num_rays, 3))
+                        gt_rgb = gt_rgb[..., :3] * gt_rgb[..., 3:] \
+                            + bg * (1 - gt_rgb[..., 3:])
+                    else:
+                        bg = 1.0
+
+                # flow-loss cloud rides in the joint flow batch for free
+                fl = None
+                pc = pcm = gfi = None
+                if cfg.flow_loss and pc_data is not None:
+                    gfi = jnp.round(t * (cfg.num_frames - 1)) \
+                        .astype(jnp.int32)
+                    pc = pc_data["pc"][gfi]
+                    pcm = pc_data["pc_mask"][gfi]
+
+                # ---------------- rendering ----------------
+                if joint:
+                    out, out_c, extra = rend.run_joint(
+                        params, ro, rd, ro_c, rd_c, t,
+                        perturb=True, key=k_pl, bg_color=bg,
+                        occ_spec=self.occ_spec,
+                        occ_grid_l=state.get("occ_grid_lidar"),
+                        occ_grid_c=state.get("occ_grid_rgb"),
+                        num_steps_occ=cfg.num_steps_occ,
+                        occ_thresh=cfg.occ_thresh,
+                        x_flow_extra=pc)
+                    fl = extra.get("flow_extra")
+                else:
+                    if cfg.enable_lidar:
+                        if self.occ_spec is not None:
+                            out = rend.run_occupancy(
+                                params, ro, rd, t, self.occ_spec,
+                                state["occ_grid_lidar"],
+                                num_steps_occ=cfg.num_steps_occ,
+                                cal_lidar_color=True, perturb=True,
+                                key=k_pl, occ_thresh=cfg.occ_thresh)
+                        else:
+                            out = rend.run(params, ro, rd, t,
+                                           cal_lidar_color=True,
+                                           perturb=True, key=k_pl)
+                    if cfg.enable_rgb:
+                        if self.occ_spec is not None:
+                            out_c = rend.run_occupancy(
+                                params, ro_c, rd_c, t, self.occ_spec,
+                                state["occ_grid_rgb"],
+                                num_steps_occ=cfg.num_steps_occ,
+                                cal_lidar_color=False, perturb=True,
+                                key=k_pc, bg_color=bg,
+                                occ_thresh=cfg.occ_thresh)
+                        else:
+                            out_c = rend.run(params, ro_c, rd_c, t,
+                                             cal_lidar_color=False,
+                                             perturb=True, key=k_pc,
+                                             bg_color=bg)
+                    if cfg.enable_lidar and pc is not None:
+                        fl = field.flow(params, pc, t)
+
+                # ------------------- LiDAR losses -------------------
+                if cfg.enable_lidar:
                     gt_raydrop = gt[:, 0]
                     gt_intensity = gt[:, 1] * gt_raydrop
                     gt_depth = gt[:, 2] * gt_raydrop
-
-                    if self.occ_spec is not None:
-                        out = rend.run_occupancy(
-                            params, ro, rd, t, self.occ_spec,
-                            state["occ_grid_lidar"],
-                            num_steps_occ=cfg.num_steps_occ,
-                            cal_lidar_color=True, perturb=True, key=k_pl,
-                            occ_thresh=cfg.occ_thresh)
-                    else:
-                        out = rend.run(params, ro, rd, t,
-                                       cal_lidar_color=True, perturb=True,
-                                       key=k_pl)
                     pred_raydrop = out["image_lidar"][:, 0]
                     pred_intensity = out["image_lidar"][:, 1] * gt_raydrop
                     pred_depth = out["depth_lidar"] * gt_raydrop
@@ -353,11 +427,8 @@ class Trainer:
                     total = total + cd
 
                     if cfg.flow_loss and pc_data is not None:
-                        gfi = jnp.round(t * (cfg.num_frames - 1)) \
-                            .astype(jnp.int32)
-                        pc = pc_data["pc"][gfi]
-                        pcm = pc_data["pc_mask"][gfi]
-                        fl = field.flow(params, pc, t)
+                        if fl is None:
+                            fl = field.flow(params, pc, t)
                         fl_loss = 0.0
                         nxt = jnp.minimum(gfi + 1, cfg.num_frames - 1)
                         prv = jnp.maximum(gfi - 1, 0)
@@ -406,44 +477,8 @@ class Trainer:
                     aux["per_ray_lidar"] = jax.lax.stop_gradient(lidar_loss)
                     aux["inds_lidar"] = inds
 
-                # ------------------- camera branch -------------------
+                # ------------------- camera losses -------------------
                 if cfg.enable_rgb:
-                    em = (state["error_map_rgb"][fi] if use_error_map
-                          else None)
-                    inds_c = sampler.sample_indices(
-                        k_ci, H, W, cfg.num_rays,
-                        patch_size=cfg.patch_size,
-                        error_map=em, use_error_map=use_error_map)
-                    pose_c = data["poses"][fi]
-                    ro_c, rd_c = raylib.get_camera_rays(
-                        pose_c, inds_c, H, W, data["intrinsics"])
-                    gt_rgb = data["images_flat"][fi][inds_c]
-                    if cfg.color_space == "linear":
-                        from nvsf_tpu.lib.color import srgb_to_linear
-                        gt_rgb = gt_rgb.at[..., :3].set(
-                            srgb_to_linear(gt_rgb[..., :3]))
-                    if self.mesh is not None:
-                        from nvsf_tpu.parallel.mesh import shard_rays
-                        ro_c, rd_c, gt_rgb = shard_rays(self.mesh, ro_c,
-                                                        rd_c, gt_rgb)
-                    Cch = gt_rgb.shape[-1]
-                    if Cch == 4:
-                        bg = jax.random.uniform(k_bg, (cfg.num_rays, 3))
-                        gt_rgb = gt_rgb[..., :3] * gt_rgb[..., 3:] \
-                            + bg * (1 - gt_rgb[..., 3:])
-                    else:
-                        bg = 1.0
-                    if self.occ_spec is not None:
-                        out_c = rend.run_occupancy(
-                            params, ro_c, rd_c, t, self.occ_spec,
-                            state["occ_grid_rgb"],
-                            num_steps_occ=cfg.num_steps_occ,
-                            cal_lidar_color=False, perturb=True, key=k_pc,
-                            bg_color=bg, occ_thresh=cfg.occ_thresh)
-                    else:
-                        out_c = rend.run(params, ro_c, rd_c, t,
-                                         cal_lidar_color=False, perturb=True,
-                                         key=k_pc, bg_color=bg)
                     rgb_l = cfg.alpha_rgb * criterion["rgb"](out_c["image"],
                                                              gt_rgb[..., :3])
                     aux["rgb"] = rgb_l.sum()
@@ -557,11 +592,40 @@ class Trainer:
                      and self.epoch % cfg.change_patch_size_epoch == 0)
         if use_scan:
             scan = self._scan_patch if use_patch else self._scan_random
-            self.state, metrics = scan(self.state, jnp.asarray(order))
-            self.global_step += len(order)
-            parts = {k: float(np.mean(np.asarray(v)))
-                     for k, v in metrics.items()}
-            tot = parts["loss"] * len(order)
+            # honor the instant-ngp occupancy refresh cadence MID-epoch:
+            # a whole-epoch scan would stretch the effective refresh
+            # interval to >= steps-per-epoch regardless of
+            # occ_update_interval, so the epoch is split into dispatches
+            # that end exactly on interval boundaries with a refresh
+            # between them (the compiled scan is shape-cached, so at most
+            # two program shapes: the interval length and the tail)
+            interval = (cfg.occ_update_interval
+                        if (self.occ_spec is not None
+                            and cfg.occ_update_interval > 0) else 0)
+            if interval and len(order) > interval:
+                sums, count = {}, 0
+                i0 = 0
+                while i0 < len(order):
+                    # land each dispatch boundary on a global-step multiple
+                    # of the interval
+                    room = interval - (self.global_step % interval)
+                    sub = order[i0:i0 + room]
+                    i0 += len(sub)
+                    self.state, metrics = scan(self.state, jnp.asarray(sub))
+                    self.global_step += len(sub)
+                    for k, v in metrics.items():
+                        sums[k] = sums.get(k, 0.0) \
+                            + float(np.sum(np.asarray(v)))
+                    count += len(sub)
+                    self._maybe_update_occ()
+                parts = {k: v / count for k, v in sums.items()}
+                tot = parts["loss"] * len(order)
+            else:
+                self.state, metrics = scan(self.state, jnp.asarray(order))
+                self.global_step += len(order)
+                parts = {k: float(np.mean(np.asarray(v)))
+                         for k, v in metrics.items()}
+                tot = parts["loss"] * len(order)
         else:
             step = self._step_patch if use_patch else self._step_random
             tot, parts = 0.0, {}
@@ -571,11 +635,25 @@ class Trainer:
                 tot += float(metrics["loss"])
                 for k, v in metrics.items():
                     parts[k] = parts.get(k, 0.0) + float(v)
+                self._maybe_update_occ()
             parts = {k: v / len(order) for k, v in parts.items()}
         self.state["ema_params"] = self._update_ema(
             self.state["ema_params"], self.state["params"])
         self._maybe_update_occ()
         return EpochStats(loss=tot / len(order), parts=parts)
+
+    def _occ_refresh_times(self, key):
+        """Stratified + jittered query times over the scene's actual time
+        span for one union-over-time occupancy refresh. The scene is
+        dynamic; refreshing at a single fixed time starved moving-object
+        cells of density confirmations and the 0.8/update decay culled
+        them (times[0]-only refresh was a silent-quality bug)."""
+        S = max(int(self.cfg.occ_time_samples), 1)
+        times = np.asarray(self.data["times"])
+        t_lo, t_hi = float(times.min()), float(times.max())
+        strata = jnp.arange(S, dtype=jnp.float32) / S
+        u = jax.random.uniform(key, (S,)) / S
+        return t_lo + (t_hi - t_lo) * (strata + u)
 
     def _maybe_update_occ(self):
         """Refresh the occupancy grids if the step counter crossed the
@@ -587,16 +665,17 @@ class Trainer:
         if tick == self._last_occ_update:
             return
         self._last_occ_update = tick
+        self._occ_refresh_count += 1
         key = jax.random.PRNGKey(0xACC + self.global_step)
-        k_l, k_c = jax.random.split(key)
-        t = self.data["times"][0]
+        k_l, k_c, k_t = jax.random.split(key, 3)
+        ts = self._occ_refresh_times(k_t)
         if "occ_grid_lidar" in self.state:
             self.state["occ_grid_lidar"] = self._occ_update(
-                self.state["params"], self.state["occ_grid_lidar"], k_l, t,
+                self.state["params"], self.state["occ_grid_lidar"], k_l, ts,
                 True)
         if "occ_grid_rgb" in self.state:
             self.state["occ_grid_rgb"] = self._occ_update(
-                self.state["params"], self.state["occ_grid_rgb"], k_c, t,
+                self.state["params"], self.state["occ_grid_rgb"], k_c, ts,
                 False)
 
     def train(self, max_epochs: Optional[int] = None, log_fn=print):

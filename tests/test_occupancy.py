@@ -117,3 +117,102 @@ def test_occupancy_matches_dense_when_fully_occupied(tmp_path):
     np.testing.assert_allclose(np.asarray(occ["depth_lidar"]),
                                np.asarray(dense["depth_lidar"]),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_occupancy_retention_moving_object():
+    """A FAST-moving object's trajectory cells must stay occupied under the
+    stratified-time union refresh (VERDICT r2: the times[0]-only refresh
+    silently culled dynamic content)."""
+    spec = OccupancyGridSpec(grid_size=16, bound=1.0, decay=0.8,
+                             update_fraction=1)
+    grid = spec.init()
+
+    # blob of radius 0.12 sweeping x from -0.8 to 0.8 over t in [0, 1]:
+    # each cell on the trajectory is occupied for ~8% of the timeline
+    def density_fn(p, t):
+        c = jnp.array([-0.8 + 1.6 * t, 0.0, 0.0])
+        d2 = jnp.sum((p - c) ** 2, axis=-1)
+        return jnp.where(d2 < 0.12 ** 2, 200.0, 0.0)
+
+    key = jax.random.PRNGKey(0)
+    S = 4
+    for i in range(40):
+        key, k_u, k_t = jax.random.split(key, 3)
+        # trainer's stratified+jittered refresh times
+        ts = (jnp.arange(S) + jax.random.uniform(k_t, (S,))) / S
+        grid = spec.update(grid, k_u, density_fn, thresh=1.0, times=ts)
+
+    g = np.asarray(grid)
+    G = spec.grid_size
+    centers = (np.arange(G) + 0.5) / G * 2.0 - 1.0
+    # trajectory cells: |y|,|z| small, x anywhere in the sweep
+    yz = np.abs(centers) < 0.12
+    x_on = (centers > -0.8) & (centers < 0.8)
+    traj = g[np.ix_(x_on, yz, yz)]
+    assert (traj > 1.0).mean() > 0.9, (
+        f"moving-object cells decayed: {traj.min()=} "
+        f"{(traj > 1.0).mean()=}")
+    # far-away cells (never occupied at any time) must decay out
+    far = g[:, 12:, 12:]
+    assert (far < 1.0).mean() > 0.9
+
+
+def test_occupancy_single_time_refresh_loses_moving_object():
+    """Control for the retention test: the r2 behavior (every refresh at the
+    same fixed time) demonstrably culls the moving object."""
+    spec = OccupancyGridSpec(grid_size=16, bound=1.0, decay=0.8,
+                             update_fraction=1)
+    grid = spec.init()
+
+    def density_fn(p, t):
+        c = jnp.array([-0.8 + 1.6 * t, 0.0, 0.0])
+        d2 = jnp.sum((p - c) ** 2, axis=-1)
+        return jnp.where(d2 < 0.12 ** 2, 200.0, 0.0)
+
+    key = jax.random.PRNGKey(0)
+    t0 = jnp.zeros((1,))                       # times[0] only (old behavior)
+    for i in range(40):
+        key, k_u = jax.random.split(key)
+        grid = spec.update(grid, k_u, density_fn, thresh=1.0, times=t0)
+    g = np.asarray(grid)
+    G = spec.grid_size
+    centers = (np.arange(G) + 0.5) / G * 2.0 - 1.0
+    yz = np.abs(centers) < 0.12
+    x_late = centers > 0.0                     # object is there only at t>0.5
+    traj_late = g[np.ix_(x_late, yz, yz)]
+    assert (traj_late < 1.0).mean() > 0.8     # the bug: culled
+
+
+def test_occ_refresh_cadence_mid_epoch(tmp_path):
+    """occ_update_interval must be honored DURING a scan epoch, not once per
+    epoch (VERDICT r2 item 3): 16 steps/epoch at interval 4 -> 4 refreshes."""
+    scene = make_synthetic_scene(SCENE_SPEC, split="train")
+    tr = Trainer(tiny_config(render_mode="occupancy", num_steps=96,
+                             num_steps_occ=32, occ_grid_size=32,
+                             occ_update_interval=4,
+                             change_patch_size_lidar=[1]),
+                 scene, workspace=str(tmp_path))
+    n = len(scene)
+    order = np.resize(np.arange(n), 16)
+    tr.epoch = 1
+    tr.train_one_epoch(order=order)
+    assert tr._occ_refresh_count == 16 // 4, tr._occ_refresh_count
+    tr.train_one_epoch(order=order)
+    assert tr._occ_refresh_count == 2 * (16 // 4), tr._occ_refresh_count
+
+
+def test_occ_refresh_times_stratified(tmp_path):
+    scene = make_synthetic_scene(SCENE_SPEC, split="train")
+    tr = Trainer(tiny_config(render_mode="occupancy", num_steps=96,
+                             num_steps_occ=32, occ_grid_size=32,
+                             change_patch_size_lidar=[1]),
+                 scene, workspace=str(tmp_path))
+    ts = np.asarray(tr._occ_refresh_times(jax.random.PRNGKey(3)))
+    S = tr.cfg.occ_time_samples
+    assert len(ts) == S
+    t = np.asarray(scene.times)
+    lo, hi = t.min(), t.max()
+    assert (ts >= lo - 1e-6).all() and (ts <= hi + 1e-6).all()
+    # one sample per stratum
+    strata = np.floor((ts - lo) / (hi - lo) * S - 1e-9)
+    np.testing.assert_array_equal(np.sort(strata), np.arange(S))

@@ -87,3 +87,53 @@ def test_weak_scaling_sharded_step():
     # cost_analysis on SPMD programs reports per-device flops; weak scaling
     # means f8 ~ f1 (replicated compute would show ~8x)
     assert f8 < 3.0 * f1, (f1, f8)
+
+
+def test_sharded_step_collectives_and_flops():
+    """Comm evidence from the compiled sharded step (VERDICT r2 item 8):
+    the gradient psum must appear as all-reduce collectives whose count is
+    bounded by the number of gradient leaves, with nonzero payload."""
+    from nvsf_tpu.parallel.mesh import collective_stats
+    scene = make_synthetic_scene(SCENE_SPEC, split="train")
+    tr = Trainer(tiny_config(num_rays_lidar=128, num_steps=16), scene,
+                 workspace="/tmp/nvsf_coll", seed=3, mesh=make_mesh(8))
+    compiled = jax.jit(tr._make_train_step(patch=False)).lower(
+        tr.state, jnp.int32(0)).compile()
+    stats = collective_stats(compiled)
+    ar = stats.get("all-reduce", {"count": 0, "bytes": 0})
+    assert ar["count"] >= 1, stats
+    n_leaves = len(jax.tree.leaves(tr.state["params"]))
+    # XLA merges per-leaf psums; count must stay within [1, n_leaves + a
+    # few loss-scalar reductions]
+    assert ar["count"] <= n_leaves + 8, (ar, n_leaves)
+    assert ar["bytes"] > 0
+    # no accidental all-to-all / reduce-scatter in a replicated-params DP
+    assert "all-to-all" not in stats, stats
+    assert stats["flops"] > 0
+
+
+def test_mesh_two_epochs_and_checkpoint_roundtrip(tmp_path):
+    """Two consecutive scan epochs + a checkpoint save/load UNDER the mesh:
+    catches donation/aliasing bugs in the sharded step's buffers
+    (VERDICT r2 item 8)."""
+    scene = make_synthetic_scene(SCENE_SPEC, split="train")
+    tr = Trainer(tiny_config(num_rays_lidar=128, num_steps=16,
+                             change_patch_size_lidar=[1]),
+                 scene, workspace=str(tmp_path), seed=5, mesh=make_mesh(8))
+    tr.epoch = 1
+    s1 = tr.train_one_epoch(order=np.arange(len(scene)))
+    tr.epoch = 2
+    s2 = tr.train_one_epoch(order=np.arange(len(scene)))
+    assert np.isfinite(s1.loss) and np.isfinite(s2.loss)
+    tr.save_checkpoint(full=True)
+    tr2 = Trainer(tiny_config(num_rays_lidar=128, num_steps=16,
+                              change_patch_size_lidar=[1]),
+                  scene, workspace=str(tmp_path), seed=6, mesh=make_mesh(8))
+    assert tr2.load_checkpoint("latest")
+    p1 = np.asarray(tr.state["params"]["sigma_net"][0]["w"])
+    p2 = np.asarray(tr2.state["params"]["sigma_net"][0]["w"])
+    np.testing.assert_allclose(p2, p1)
+    # the restored trainer must still step under the mesh
+    tr2.epoch = 3
+    s3 = tr2.train_one_epoch(order=np.arange(2))
+    assert np.isfinite(s3.loss)
