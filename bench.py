@@ -69,6 +69,16 @@ JOINT_LADDER = [
          num_steps_occ=96),
 ]
 
+# the flagship-config joint rung: the SHIPPED encoder shape
+# (configs/kitti360_1908.txt, quality-validated against the reference
+# shape by tools/ablate_encoders.py — two-row table in VALIDATION.md),
+# same joint 2048+2048 rays + flow + URF workload
+JOINT_TUNED_LADDER = [
+    dict(JOINT, tag="joint-tuned", **_TPU_ENC),
+    dict(JOINT, tag="joint-tuned-1024", num_rays_lidar=1024, num_rays=1024,
+         **_TPU_ENC),
+]
+
 
 def _recoverable(err: Exception) -> bool:
     from nvsf_tpu.train.resilience import is_recoverable
@@ -197,8 +207,10 @@ def main():
               file=sys.stderr)
         return None
 
-    # headline + the honest joint rung, each with its own recovery ladder
+    # headline + both joint rungs (reference shape AND shipped flagship
+    # shape), each with its own recovery ladder
     headline = run_ladder(LADDER, "headline")
+    joint_tuned = run_ladder(JOINT_TUNED_LADDER, "joint-tuned")
     joint = run_ladder(JOINT_LADDER, "joint")
     if headline is None:
         raise SystemExit("all headline bench configs failed")
@@ -215,10 +227,12 @@ def main():
         print(f"[bench] render bench failed: {type(e).__name__}: "
               f"{str(e)[:200]}", file=sys.stderr)
 
-    # tail always carries BOTH train rungs (joint alongside the headline;
-    # headline stays LAST for the driver's tail parse)
+    # tail always carries the train rungs (joint rungs alongside the
+    # headline; headline stays LAST for the driver's tail parse)
     if joint is not None:
         print(json.dumps(joint))
+    if joint_tuned is not None:
+        print(json.dumps(joint_tuned))
     print(json.dumps(headline))
 
 

@@ -88,6 +88,8 @@ class RendererSpec:
     remat_chunks: int = 1          # >1: chunked + rematerialized density
                                    # queries (bounds residual memory at
                                    # large rays x samples)
+    stream_slab: int = 32          # samples per early-exit slab in the
+                                   # streaming eval marcher
 
     @property
     def aabb(self):
@@ -521,7 +523,7 @@ class RendererSpec:
     # ------------------------------------------------------------------
     def _render_staged_occ(self, params, rays_o, rays_d, time, occ_spec,
                            occ_grid, K, occ_thresh, cal_lidar_color,
-                           bg_color, slab: int = 32,
+                           bg_color, slab: int | None = None,
                            compact_chunk: int = 8192):
         """Full-frame occupancy render with OCCUPANCY-SORTED chunking.
 
@@ -539,7 +541,7 @@ class RendererSpec:
         N = rays_o.shape[0]
         T = self.num_steps
         aabb = self.aabb
-        S = min(slab, K)
+        S = min(self.stream_slab if slab is None else slab, K)
         if cal_lidar_color:
             nears = jnp.full((N, 1), self.min_near_lidar, jnp.float32)
             fars = jnp.full((N, 1), self.lidar_max_depth, jnp.float32)

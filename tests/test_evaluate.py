@@ -21,7 +21,7 @@ def trained(tmp_path_factory):
     scene = make_synthetic_scene(SCENE_SPEC, split="train")
     tr = Trainer(tiny_config(enable_rgb=True, change_patch_size_lidar=[1]),
                  scene, workspace=ws)
-    for ep in range(1, 7):
+    for ep in range(1, 4):
         tr.epoch = ep
         tr.train_one_epoch(order=np.arange(len(scene)))
     return tr
@@ -70,6 +70,7 @@ def test_evaluate_produces_all_categories(trained, tmp_path):
     assert j["category"] == "combined"
 
 
+@pytest.mark.slow
 def test_refine_then_refined_eval(trained, tmp_path):
     losses = trained.refine(steps=30, log_fn=None)
     assert trained.has_unet

@@ -3,6 +3,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 
 def test_entry_traces():
@@ -15,6 +16,7 @@ def test_entry_traces():
     assert len(hlo) > 1000
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as g
     g.dryrun_multichip(8)

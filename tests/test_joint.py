@@ -11,6 +11,7 @@ performance redesign, so its contract is bit-level-comparable math.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax import flatten_util
 
 from nvsf_tpu.models.field import NVSFFieldSpec
@@ -51,6 +52,7 @@ def test_density_joint_matches_separate():
                                fe["flow_backward"], rtol=2e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_density_joint_gradients_match_separate():
     params = TINY.init(jax.random.PRNGKey(0))
     kl, kc = jax.random.split(jax.random.PRNGKey(2))

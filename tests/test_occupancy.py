@@ -4,6 +4,7 @@ occupancy-mode training equivalence & convergence."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nvsf_tpu.ops.morton import morton3d, morton3d_invert, packbits
 from nvsf_tpu.ops.occupancy import OccupancyGridSpec
@@ -78,6 +79,7 @@ def test_occupancy_grid_update_clears_empty_space():
     assert (g[9:] > 1.0).all()             # occupied half refreshed
 
 
+@pytest.mark.slow
 def test_occupancy_training_converges(tmp_path):
     scene = make_synthetic_scene(SCENE_SPEC, split="train")
     tr = Trainer(tiny_config(render_mode="occupancy", num_steps=96,

@@ -16,6 +16,7 @@ def test_is_recoverable_classification():
     assert not is_recoverable(ValueError("shape mismatch"))
 
 
+@pytest.mark.slow
 def test_recovery_resumes_from_checkpoint(tmp_path):
     scene = make_synthetic_scene(SCENE_SPEC, split="train")
     tr = Trainer(tiny_config(change_patch_size_lidar=[1]), scene,

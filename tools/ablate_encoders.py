@@ -30,7 +30,7 @@ SHAPES = {
 }
 
 
-def quality_run(shape_name, shape, epochs, eval_every, seed=0):
+def quality_run(shape_name, shape, epochs, eval_every, seed=0, occ_k=64):
     import jax
     from nvsf_tpu.config import NVSFConfig
     from nvsf_tpu.data.synthetic import (SyntheticSceneSpec,
@@ -48,7 +48,7 @@ def quality_run(shape_name, shape, epochs, eval_every, seed=0):
         min_near_lidar=1.0 * spec.scale, lidar_max_depth=25.0 * spec.scale,
         min_near=1.0 * spec.scale, active_sensor=True,
         num_rays=1024, num_rays_lidar=1024, num_steps=192,
-        num_steps_occ=64, render_mode="occupancy", occ_grid_size=64,
+        num_steps_occ=occ_k, render_mode="occupancy", occ_grid_size=64,
         log2_hashmap_size=14, n_levels_plane=4,
         use_error_map=True, grad_loss=True,
         change_patch_size_lidar=[4, 4], change_patch_size_epoch=2,
@@ -62,6 +62,9 @@ def quality_run(shape_name, shape, epochs, eval_every, seed=0):
     for ep in range(1, epochs + 1):
         tr.epoch = ep
         stats = tr.train_one_epoch()
+        print(json.dumps({"shape": shape_name, "epoch": ep,
+                          "loss": round(stats.loss, 3),
+                          "t": round(time.time() - t0, 1)}), flush=True)
         if ep % eval_every == 0 or ep == epochs:
             res = evaluate(tr, val_scene, use_ema=True, log_fn=lambda *a: None)
             c = res["combined"]
@@ -85,9 +88,13 @@ def main():
     ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--eval-every", type=int, default=20)
     ap.add_argument("--shapes", default="ref-8x4,tuned-4x8")
+    ap.add_argument("--occ-K", type=int, default=64,
+                    help="kept samples per ray (192 candidates); 32 matches "
+                         "the flagship 768->128 compaction ratio")
     args = ap.parse_args()
     for name in args.shapes.split(","):
-        quality_run(name, SHAPES[name], args.epochs, args.eval_every)
+        quality_run(name, SHAPES[name], args.epochs, args.eval_every,
+                    occ_k=args.occ_K)
 
 
 if __name__ == "__main__":
