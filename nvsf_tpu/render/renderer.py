@@ -88,8 +88,10 @@ class RendererSpec:
     remat_chunks: int = 1          # >1: chunked + rematerialized density
                                    # queries (bounds residual memory at
                                    # large rays x samples)
-    stream_slab: int = 32          # samples per early-exit slab in the
-                                   # streaming eval marcher
+    stream_slab: int = 16          # samples per early-exit slab in the
+                                   # streaming eval marcher (16 beat 32 at
+                                   # every K in the r3 sweep: finer exit
+                                   # granularity outweighs loop overhead)
 
     @property
     def aabb(self):

@@ -79,7 +79,8 @@ def renderer_spec_from_config(cfg: NVSFConfig,
         active_sensor=cfg.active_sensor, num_steps=cfg.num_steps,
         max_ray_batch=cfg.max_ray_batch,
         compute_dtype="bfloat16" if cfg.fp16 else cfg.compute_dtype,
-        remat_chunks=cfg.remat_chunks)
+        remat_chunks=cfg.remat_chunks,
+        stream_slab=cfg.stream_slab)
 
 
 def make_optimizer(cfg: NVSFConfig, field: NVSFFieldSpec, params):
@@ -603,14 +604,14 @@ class Trainer:
                         if (self.occ_spec is not None
                             and cfg.occ_update_interval > 0) else 0)
             if interval and len(order) > interval:
+                # FIXED chunk length: at most two compiled scan shapes
+                # (interval + tail) per epoch length. Refresh boundaries
+                # then drift within one chunk of the exact global-step
+                # multiple, which the tick logic tolerates — cadence is
+                # what matters, not exact alignment.
                 sums, count = {}, 0
-                i0 = 0
-                while i0 < len(order):
-                    # land each dispatch boundary on a global-step multiple
-                    # of the interval
-                    room = interval - (self.global_step % interval)
-                    sub = order[i0:i0 + room]
-                    i0 += len(sub)
+                for i0 in range(0, len(order), interval):
+                    sub = order[i0:i0 + interval]
                     self.state, metrics = scan(self.state, jnp.asarray(sub))
                     self.global_step += len(sub)
                     for k, v in metrics.items():
