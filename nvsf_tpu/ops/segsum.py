@@ -259,6 +259,55 @@ def _segment_add_xla(cols, vals, T):
     return jnp.zeros((F, T), vals.dtype).at[:, cols].add(vals)
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def _segment_add_cumsum(cols, vals, T):
+    """Sort + prefix-sum + ONE boundary gather — no scatter, no Pallas.
+
+    After the packed sort, equal keys are adjacent, so each table slot's
+    sum is a difference of the f32 running prefix sum at its boundary
+    indices: ``out[:, t] = S[:, b[t+1]] - S[:, b[t]]`` with
+    ``b = searchsorted(keys_sorted, arange(T+1))``.
+
+    MEASURED NEGATIVE RESULT (v5e, 2026-08): this path is 6-10x SLOWER
+    than the packed one-hot-MXU Pallas kernel — 407 vs 65 ms at
+    F=8, M=8.4M, T=2M; 330 vs 24 ms at M=T=2M; 86 vs 9 ms at F=4,
+    M=1M, T=512k. XLA's long-axis f32 cumsum and the [F, T+1]
+    boundary gather dominate; the one-hot compares the Pallas kernel
+    pays are NOT its bottleneck. Kept as a portable scatter-free
+    fallback (works on any backend), never the TPU default.
+
+    Numerics: updates are rounded to bf16 by the packing (same as the
+    Pallas path / tcnn's fp16 atomics); the prefix sum accumulates in
+    f32, so slot sums see ~|running sum| * 2^-24 cancellation error —
+    comparable to the per-update bf16 rounding already accepted.
+    """
+    F, M = vals.shape
+    P = (F + 1) // 2
+
+    vb = vals.astype(jnp.bfloat16)
+    if F % 2:
+        vb = jnp.concatenate([vb, jnp.zeros((1, M), jnp.bfloat16)])
+    u = jax.lax.bitcast_convert_type(vb, jnp.uint16).astype(jnp.uint32)
+    packed = ((u[1::2] << 16) | u[0::2]).astype(jnp.int32)   # [P, M]
+
+    ops = jax.lax.sort([cols.astype(jnp.int32)]
+                       + [packed[p] for p in range(P)], num_keys=1)
+    keys_s = ops[0]
+    vp = jnp.stack(ops[1:])                                   # [P, M] i32
+    lo = jax.lax.bitcast_convert_type(
+        (vp << 16).astype(jnp.uint32), jnp.float32)           # even feats
+    hi = jax.lax.bitcast_convert_type(
+        (vp & jnp.int32(-65536)).astype(jnp.uint32), jnp.float32)
+    vals_s = jnp.stack([lo, hi], axis=1).reshape(2 * P, M)[:F]
+
+    S = jnp.cumsum(vals_s.astype(jnp.float32), axis=1)        # [F, M]
+    Se = jnp.concatenate([jnp.zeros((F, 1), jnp.float32), S], axis=1)
+    b = jnp.searchsorted(keys_s, jnp.arange(T + 1, dtype=jnp.int32)) \
+        .astype(jnp.int32)
+    G = Se.at[:, b].get(mode="promise_in_bounds")             # [F, T+1]
+    return G[:, 1:] - G[:, :-1]
+
+
 def pick_block(T: int) -> int:
     """Table slots per kernel block. 1024 balances one-hot compare cost
     (~M*B VPU ops) against DMA read amplification; the kernel pads T up to
@@ -275,14 +324,18 @@ def segment_add_fm(cols: jnp.ndarray, vals: jnp.ndarray, T: int,
     ``out[:, t] = sum(vals[:, cols == t])``. Equivalent to
     ``jnp.zeros((F, T)).at[:, cols].add(vals)`` but scatter-free on TPU.
 
-    precision: "bf16" rounds each update to bf16 before the f32
-    accumulation (half the sort payload + 1-pass MXU; the analogue of
-    tcnn's fp16 atomics); "f32" keeps ~f32 exactness (split-2 MXU).
+    precision: "bf16" (default on TPU) is the packed one-hot-MXU Pallas
+    kernel; "f32" keeps ~f32 exactness (split-2 MXU Pallas); "cumsum"
+    is a pure-XLA sort+prefix-sum alternative — measured 6-10x SLOWER
+    than the packed kernel on v5e (see its docstring), kept only as a
+    portable scatter-free fallback.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if not use_pallas:
         return _segment_add_xla(cols, vals, T)
+    if precision == "cumsum":
+        return _segment_add_cumsum(cols, vals, T)
     if precision == "bf16":
         return _segment_add_tpu_packed(cols, vals, T, pick_block(T))
     return _segment_add_tpu(cols, vals, T, pick_block(T))

@@ -86,3 +86,25 @@ def test_table_gather_under_checkpoint_and_jit():
     g = jax.grad(loss)(table)
     ref = jax.grad(lambda t: jnp.take(t, cols, axis=1).sum())(table)
     np.testing.assert_allclose(np.asarray(g), np.asarray(ref), atol=1e-6)
+
+
+def test_segment_add_cumsum_matches_scatter():
+    """The sort+prefix-sum+boundary-gather path (pure XLA, any backend)
+    must match the exact scatter to bf16-rounding tolerance, including
+    odd feature counts and empty slots."""
+    from nvsf_tpu.ops.segsum import _segment_add_cumsum
+
+    key = jax.random.PRNGKey(2)
+    k1, k2 = jax.random.split(key)
+    for F, M, T in ((6, 4096, 300), (5, 2048, 777), (1, 512, 64)):
+        cols = jax.random.randint(k1, (M,), 0, T, jnp.int32)
+        vals = jax.random.normal(k2, (F, M), jnp.float32)
+        got = _segment_add_cumsum(cols, vals, T)
+        ref = _segment_add_xla(cols, vals, T)
+        assert got.shape == (F, T)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=3e-2, rtol=1e-2)
+        # empty slots must be exactly zero
+        present = np.zeros(T, bool)
+        present[np.asarray(cols)] = True
+        assert (np.asarray(got)[:, ~present] == 0).all()
