@@ -91,7 +91,13 @@ def main():
     ap.add_argument("--occ-K", type=int, default=64,
                     help="kept samples per ray (192 candidates); 32 matches "
                          "the flagship 768->128 compaction ratio")
+    ap.add_argument("--backend", default="cpu", choices=["cpu", "tpu"])
     args = ap.parse_args()
+    # the sandbox sitecustomize force-sets jax_platforms="axon,cpu"; the
+    # env var alone cannot pick CPU (see tests/conftest.py)
+    import jax
+    if args.backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     for name in args.shapes.split(","):
         quality_run(name, SHAPES[name], args.epochs, args.eval_every,
                     occ_k=args.occ_K)
