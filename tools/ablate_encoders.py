@@ -27,10 +27,21 @@ SHAPES = {
                     flow_n_levels=16, flow_n_features_per_level=8),
     "tuned-4x8": dict(n_levels_hash=4, n_features_per_level_hash=8,
                       flow_n_levels=8, flow_n_features_per_level=16),
+    # bench.py's _TPU_ENC flow shape (half the flow gather rows of 8x16;
+    # same 32-dim folded output) — ablated so the bench rung and the
+    # shipped config can share one quality-validated shape
+    "flow-4x32": dict(n_levels_hash=4, n_features_per_level_hash=8,
+                      flow_n_levels=4, flow_n_features_per_level=32),
 }
 
 
-def quality_run(shape_name, shape, epochs, eval_every, seed=0, occ_k=64):
+def quality_run(shape_name, shape, epochs, eval_every, seed=0, occ_k=64,
+                eval_k=None):
+    """eval_k: render-time K used by evaluate(); defaults to the training
+    occ_k. Pinning it (e.g. 32) isolates TRAINING-K quality from
+    render-time truncation."""
+    import dataclasses
+
     import jax
     from nvsf_tpu.config import NVSFConfig
     from nvsf_tpu.data.synthetic import (SyntheticSceneSpec,
@@ -66,7 +77,14 @@ def quality_run(shape_name, shape, epochs, eval_every, seed=0, occ_k=64):
                           "loss": round(stats.loss, 3),
                           "t": round(time.time() - t0, 1)}), flush=True)
         if ep % eval_every == 0 or ep == epochs:
+            if eval_k is not None and eval_k != occ_k:
+                train_cfg = tr.cfg
+                tr.cfg = dataclasses.replace(tr.cfg, num_steps_occ=eval_k)
+                tr._render_cache.clear()
             res = evaluate(tr, val_scene, use_ema=True, log_fn=lambda *a: None)
+            if eval_k is not None and eval_k != occ_k:
+                tr.cfg = train_cfg
+                tr._render_cache.clear()
             c = res["combined"]
             # meter outputs: point=[CD, F@0.05]; depth=[RMSE, MedAE, LPIPS,
             # SSIM, PSNR]; raydrop=[RMSE, Acc, F1]
@@ -91,6 +109,9 @@ def main():
     ap.add_argument("--occ-K", type=int, default=64,
                     help="kept samples per ray (192 candidates); 32 matches "
                          "the flagship 768->128 compaction ratio")
+    ap.add_argument("--eval-K", type=int, default=None,
+                    help="render-time K for the held-out eval (default: "
+                         "same as --occ-K)")
     ap.add_argument("--backend", default="cpu", choices=["cpu", "tpu"])
     args = ap.parse_args()
     # the sandbox sitecustomize force-sets jax_platforms="axon,cpu"; the
@@ -100,7 +121,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     for name in args.shapes.split(","):
         quality_run(name, SHAPES[name], args.epochs, args.eval_every,
-                    occ_k=args.occ_K)
+                    occ_k=args.occ_K, eval_k=args.eval_K)
 
 
 if __name__ == "__main__":
