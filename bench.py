@@ -141,7 +141,10 @@ def _run_render_bench(reps=4):
     import jax.numpy as jnp
     from nvsf_tpu.lib import rays as raylib
 
-    tag, cfg, tr, scene = _make_trainer(LADDER[0])
+    # render-time K'=96 (of 768 candidates): geometry within noise of
+    # K=128 at +20% speed — VALIDATION.md render-K quality ladder
+    tag, cfg, tr, scene = _make_trainer(dict(LADDER[0],
+                                             num_steps_occ_render=96))
     # a couple of train steps so the occupancy grid is fresh-ish
     tr.train_one_epoch(order=np.arange(2))
     n_rays = scene.H_lidar * scene.W_lidar

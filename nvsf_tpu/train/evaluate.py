@@ -81,7 +81,7 @@ def evaluate(trainer, scene, *, use_refine: bool = False, use_ema: bool = True,
                 scene.H_lidar, scene.W_lidar, scene.intrinsics_lidar,
                 scene.intrinsics_hoz_lidar, mesh=trainer.mesh,
                 occ_kwargs=trainer._occ_kwargs(
-                    trainer.state.get("occ_grid_lidar")))
+                    trainer.state.get("occ_grid_lidar"), lidar=True))
             for k in lidar_sw:
                 lidar_sw[k].extend(sw[k])
         if cfg.enable_rgb and scene.images is not None:

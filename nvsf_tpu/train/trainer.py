@@ -391,7 +391,8 @@ class Trainer:
                             out_c = rend.run_occupancy(
                                 params, ro_c, rd_c, t, self.occ_spec,
                                 state["occ_grid_rgb"],
-                                num_steps_occ=cfg.num_steps_occ,
+                                num_steps_occ=(cfg.num_steps_occ_rgb
+                                               or cfg.num_steps_occ),
                                 cal_lidar_color=False, perturb=True,
                                 key=k_pc, bg_color=bg,
                                 occ_thresh=cfg.occ_thresh)
@@ -543,14 +544,22 @@ class Trainer:
         return epoch_fn
 
     # ------------------------------------------------------------------
-    def _occ_kwargs(self, occ_grid):
+    def _occ_kwargs(self, occ_grid, lidar=False):
         """Render kwargs enabling the occupancy-compacted early-exit
-        marcher when the trainer runs in occupancy mode."""
+        marcher when the trainer runs in occupancy mode.
+
+        ``lidar=True`` callers (pano/eval renders) honor the render-time
+        budget ``cfg.num_steps_occ_render`` (quality-validated at the
+        96-of-768 equivalent, VALIDATION.md render-K table); camera
+        renders keep the full training K."""
         if self.occ_spec is None or occ_grid is None:
             return {}
+        if lidar:
+            k = self.cfg.num_steps_occ_render or self.cfg.num_steps_occ
+        else:
+            k = self.cfg.num_steps_occ_rgb or self.cfg.num_steps_occ
         return dict(occ_spec=self.occ_spec, occ_grid=occ_grid,
-                    num_steps_occ=self.cfg.num_steps_occ,
-                    occ_thresh=self.cfg.occ_thresh)
+                    num_steps_occ=k, occ_thresh=self.cfg.occ_thresh)
 
     def _render_frame_lidar(self, params, fi, occ_grid=None):
         scene, data = self.scene, self.data
@@ -561,7 +570,7 @@ class Trainer:
                                        scene.intrinsics_hoz_lidar)
         out = self.rend.render(params, ro, rd, data["times"][fi],
                                cal_lidar_color=True, staged=True,
-                               **self._occ_kwargs(occ_grid))
+                               **self._occ_kwargs(occ_grid, lidar=True))
         return {"depth": out["depth_lidar"].reshape(Hl, Wl),
                 "raydrop": out["image_lidar"][:, 0].reshape(Hl, Wl),
                 "intensity": out["image_lidar"][:, 1].reshape(Hl, Wl)}
@@ -712,7 +721,8 @@ class Trainer:
                 ro, rd = raylib.get_lidar_rays(pose, inds, H, W, K_l, K_hoz)
                 out = self.rend.render(params, ro, rd, t,
                                        cal_lidar_color=True, staged=True,
-                                       **self._occ_kwargs(occ_grid))
+                                       **self._occ_kwargs(occ_grid,
+                                                          lidar=True))
                 return {"depth": out["depth_lidar"].reshape(H, W),
                         "raydrop": out["image_lidar"][:, 0].reshape(H, W),
                         "intensity": out["image_lidar"][:, 1].reshape(H, W)}
@@ -776,7 +786,7 @@ class Trainer:
                 scene.H_lidar, scene.W_lidar, scene.intrinsics_lidar,
                 scene.intrinsics_hoz_lidar, mesh=self.mesh,
                 occ_kwargs=self._occ_kwargs(
-                    self.state.get("occ_grid_lidar")))
+                    self.state.get("occ_grid_lidar"), lidar=True))
             for j, fi in enumerate(fs):
                 inputs.append(np.stack([sw["raydrop"][j], sw["intensity"][j],
                                         sw["depth"][j]], axis=0))

@@ -36,7 +36,7 @@ SHAPES = {
 
 
 def quality_run(shape_name, shape, epochs, eval_every, seed=0, occ_k=64,
-                eval_k=None):
+                eval_k=None, rgb_k=0):
     """eval_k: render-time K used by evaluate(); defaults to the training
     occ_k. Pinning it (e.g. 32) isolates TRAINING-K quality from
     render-time truncation."""
@@ -59,7 +59,8 @@ def quality_run(shape_name, shape, epochs, eval_every, seed=0, occ_k=64,
         min_near_lidar=1.0 * spec.scale, lidar_max_depth=25.0 * spec.scale,
         min_near=1.0 * spec.scale, active_sensor=True,
         num_rays=1024, num_rays_lidar=1024, num_steps=192,
-        num_steps_occ=occ_k, render_mode="occupancy", occ_grid_size=64,
+        num_steps_occ=occ_k, num_steps_occ_rgb=rgb_k,
+        render_mode="occupancy", occ_grid_size=64,
         log2_hashmap_size=14, n_levels_plane=4,
         use_error_map=True, grad_loss=True,
         change_patch_size_lidar=[4, 4], change_patch_size_epoch=2,
@@ -112,6 +113,8 @@ def main():
     ap.add_argument("--eval-K", type=int, default=None,
                     help="render-time K for the held-out eval (default: "
                          "same as --occ-K)")
+    ap.add_argument("--rgb-K", type=int, default=0,
+                    help="camera-branch training K (0 = same as --occ-K)")
     ap.add_argument("--backend", default="cpu", choices=["cpu", "tpu"])
     args = ap.parse_args()
     # the sandbox sitecustomize force-sets jax_platforms="axon,cpu"; the
@@ -121,7 +124,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     for name in args.shapes.split(","):
         quality_run(name, SHAPES[name], args.epochs, args.eval_every,
-                    occ_k=args.occ_K, eval_k=args.eval_K)
+                    occ_k=args.occ_K, eval_k=args.eval_K, rgb_k=args.rgb_K)
 
 
 if __name__ == "__main__":
