@@ -21,9 +21,10 @@ def trained(tmp_path_factory):
     scene = make_synthetic_scene(SCENE_SPEC, split="train")
     tr = Trainer(tiny_config(enable_rgb=True, change_patch_size_lidar=[1]),
                  scene, workspace=ws)
-    for ep in range(1, 4):
-        tr.epoch = ep
-        tr.train_one_epoch(order=np.arange(len(scene)))
+    # the meters only need a FUNCTIONING model, not a converged one — one
+    # short epoch keeps the module fixture's cost at ~one step compile
+    tr.epoch = 1
+    tr.train_one_epoch(order=np.arange(2))
     return tr
 
 

@@ -83,6 +83,7 @@ def _rays(n, key):
     return ro, rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
 
 
+@pytest.mark.slow
 def test_run_joint_matches_separate_dense():
     rend = RendererSpec(field=TINY, bound=1.0, min_near_lidar=0.02,
                         lidar_max_depth=0.9, num_steps=24,
@@ -107,6 +108,7 @@ def test_run_joint_matches_separate_dense():
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_run_joint_matches_separate_occupancy():
     rend = RendererSpec(field=TINY, bound=1.0, min_near_lidar=0.02,
                         lidar_max_depth=0.9, num_steps=32,

@@ -28,9 +28,14 @@ def test_shard_rays_places_on_mesh():
     assert y.shape == (64, 3)
 
 
+@pytest.mark.slow
 def test_sharded_training_step_runs_and_matches():
     """One train step on the 8-device mesh must produce (numerically close)
-    the same loss and params as the single-device step."""
+    the same loss and params as the single-device step.
+
+    slow tier: compiles the full step twice (~80s); the fast tier keeps
+    mesh coverage via the collectives/flops test and the two-epoch +
+    checkpoint-roundtrip-under-mesh test."""
     scene = make_synthetic_scene(SCENE_SPEC, split="train")
     cfg_kwargs = dict(num_rays_lidar=256, num_steps=32)
 
