@@ -17,6 +17,35 @@ def _to_u8(a, vmax=None):
     return (np.clip(a / vmax, 0, 1) * 255).astype(np.uint8)
 
 
+def _write_videos(save_dir, name, depth_frames, rgb_frames, log_fn):
+    """mp4 when an ffmpeg backend exists (``nvsf/nerf/trainer.py:1264-1281``
+    writes mp4); otherwise fall back to GIF, which imageio writes natively
+    with no external codec — the eval videos are short (tens of frames)."""
+    import imageio.v2 as imageio
+
+    def write(frames, stem):
+        if not frames:
+            return
+        path = os.path.join(save_dir, f"{stem}.mp4")
+        try:
+            imageio.mimwrite(path, frames, fps=10)
+        except Exception:
+            path = os.path.join(save_dir, f"{stem}.gif")
+            # imageio GIF wants HxWx3; broadcast grayscale panos
+            frames = [f if f.ndim == 3 else np.repeat(f[..., None], 3, -1)
+                      for f in frames]
+            imageio.mimwrite(path, frames, duration=100, loop=0)
+        if log_fn:
+            log_fn(f"[test] wrote {path}")
+
+    try:
+        write(depth_frames, f"{name}_depth")
+        write(rgb_frames, f"{name}_rgb")
+    except Exception as e:  # even the GIF fallback failed
+        if log_fn:
+            log_fn(f"[test] video writing unavailable: {e}")
+
+
 def run_test(trainer, scene, *, save_dir, name="test", use_refine=False,
              write_video=False, log_fn=print):
     import imageio.v2 as imageio
@@ -67,15 +96,6 @@ def run_test(trainer, scene, *, save_dir, name="test", use_refine=False,
                             _to_u8(out["rgb"], vmax=1.0))
             rgb_frames.append(_to_u8(out["rgb"], vmax=1.0))
     if write_video:
-        try:
-            if depth_frames:
-                imageio.mimwrite(os.path.join(save_dir, f"{name}_depth.mp4"),
-                                 depth_frames, fps=10)
-            if rgb_frames:
-                imageio.mimwrite(os.path.join(save_dir, f"{name}_rgb.mp4"),
-                                 rgb_frames, fps=10)
-        except Exception as e:  # video codecs may be absent
-            if log_fn:
-                log_fn(f"[test] video writing unavailable: {e}")
+        _write_videos(save_dir, name, depth_frames, rgb_frames, log_fn)
     if log_fn:
         log_fn(f"[test] wrote {len(scene)} frames to {save_dir}")

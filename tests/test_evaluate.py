@@ -80,6 +80,21 @@ def test_refine_then_refined_eval(trained, tmp_path):
     assert np.isfinite(res["combined"]["raydrop"][0])
 
 
+def test_video_export_fallback(tmp_path):
+    """Video export writes mp4 when an ffmpeg backend exists, else falls
+    back to native GIF — either way a playable file must appear."""
+    from nvsf_tpu.train.test_mode import _write_videos
+    depth = [np.full((8, 16), i * 20, np.uint8) for i in range(5)]
+    rgb = [np.full((8, 16, 3), i * 20, np.uint8) for i in range(5)]
+    msgs = []
+    _write_videos(str(tmp_path), "t", depth, rgb, msgs.append)
+    for stem in ("t_depth", "t_rgb"):
+        paths = [tmp_path / f"{stem}.mp4", tmp_path / f"{stem}.gif"]
+        written = [p for p in paths if p.exists()]
+        assert written, f"no video written for {stem}: {msgs}"
+        assert written[0].stat().st_size > 0
+
+
 def test_novel_sensor_render(trained):
     """Novel intrinsics/resolution render: double the vertical beams."""
     val = make_synthetic_scene(SCENE_SPEC, split="val")
