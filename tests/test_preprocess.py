@@ -166,6 +166,29 @@ def test_full_preprocess_and_load(mini_kitti, tmp_path_factory):
     assert np.abs(scene.poses_lidar[:, :3, 3]).max() < 1.5
 
 
+def test_preprocess_cli(mini_kitti, tmp_path_factory, capsys):
+    """The argparse CLI drives the same pipeline end-to-end
+    (``nvsf/scripts/preprocess_data.py:19-51``)."""
+    from nvsf_tpu.scripts.preprocess_data import main as pp_main
+    base, src, _ = mini_kitti
+    ws = tmp_path_factory.mktemp("ppcli")
+    data_root = ws / "data"
+    pp_main(["--dataset", "kitti360", "--sequence_name", SEQ,
+             "--recording", REC, "--kitti_root", str(src),
+             "--data_root", str(data_root),
+             "--config_dir", str(ws / "configs"),
+             "--workspace", str(ws / "log")])
+    out = capsys.readouterr().out
+    assert "--config" in out
+    cfg_path = ws / "configs" / f"kitti360_{SEQ}.txt"
+    assert cfg_path.exists()
+    d = parse_config_file(str(cfg_path))
+    assert d["dataloader"] == "kitti360"
+    # full-size default panos (66x1030) were generated
+    arr = np.load(data_root / "train" / SEQ / f"{S:010d}.npy")
+    assert arr.shape == (66, 1030, 3)
+
+
 def test_novel_sensor_overrides(mini_kitti):
     base, src, _ = mini_kitti
     scene = load_scene(str(base), SEQ, "test", scale=0.02, offset=[0, 0, 0],
