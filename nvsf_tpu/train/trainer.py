@@ -227,6 +227,7 @@ class Trainer:
         self._eval_lidar = jax.jit(self._render_frame_lidar)
         self._eval_camera = jax.jit(self._render_frame_camera)
         self._render_cache = {}
+        self._profiled = False
 
         # U-Net ray-drop refiner (``network_dynamic.py:192``); trained only
         # in the refine stage
@@ -589,6 +590,19 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train_one_epoch(self, order=None, use_scan: bool = True) -> EpochStats:
+        # device-trace exactly one epoch — the first WARM one (epoch 2, or
+        # epoch 1 when there is only one), so the trace shows steady-state
+        # dispatches, not the cold compile
+        if (self.cfg.profile_dir and not self._profiled
+                and self.epoch >= min(self.cfg.epochs, 2)):
+            from nvsf_tpu.train.profiler import device_trace
+            self._profiled = True
+            with device_trace(self.cfg.profile_dir):
+                return self._train_one_epoch_impl(order, use_scan)
+        return self._train_one_epoch_impl(order, use_scan)
+
+    def _train_one_epoch_impl(self, order=None,
+                              use_scan: bool = True) -> EpochStats:
         cfg = self.cfg
         n = len(self.scene)
         if order is None:

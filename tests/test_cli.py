@@ -54,8 +54,13 @@ def test_cli_synthetic_train(tmp_path):
         "--flow_base_resolution", "8", "--flow_max_resolution", "16",
         "--workspace", ws, "--ckpt", "scratch", "--name", "smoke",
         "--refine_steps", "5",
+        "--profile_dir", str(tmp_path / "trace"),
     ]
     cli_main(argv)
+    # the first warm epoch wrote a device trace (SURVEY §5 profiling)
+    trace_files = [str(p) for p in (tmp_path / "trace").rglob("*")
+                   if p.is_file()]
+    assert trace_files, "profile_dir produced no trace"
     # checkpoints + logs + validation artifacts exist
     assert os.path.isdir(os.path.join(ws, "checkpoints"))
     assert any(f.endswith(".pkl")
