@@ -61,6 +61,20 @@ def test_cli_synthetic_train(tmp_path):
     trace_files = [str(p) for p in (tmp_path / "trace").rglob("*")
                    if p.is_file()]
     assert trace_files, "profile_dir produced no trace"
+
+    # --test branch (``main_nvsf.py:245-300``): checkpoint load, per-frame
+    # render + artifact dump, density mesh export — on the same workspace
+    test_argv = [a for a in argv if a != "--profile_dir"
+                 and not a.startswith(str(tmp_path / "trace"))]
+    test_argv += ["--test", "--mesh_xyz_res", "24", "24", "12"]
+    test_argv[test_argv.index("scratch")] = "latest"
+    cli_main(test_argv)
+    res = os.path.join(ws, "results")
+    files = os.listdir(res)
+    assert any(f.endswith("_depth.png") for f in files)
+    assert any(f.endswith("_pcd_lidar.txt") for f in files)
+    assert any(f.endswith("_pcd_world.txt") for f in files)
+    assert "smoke_mesh.ply" in files
     # checkpoints + logs + validation artifacts exist
     assert os.path.isdir(os.path.join(ws, "checkpoints"))
     assert any(f.endswith(".pkl")
