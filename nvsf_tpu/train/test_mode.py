@@ -81,6 +81,11 @@ def run_test(trainer, scene, *, save_dir, name="test", use_refine=False,
             np.savetxt(os.path.join(save_dir,
                                     f"{name}_{fi:04d}_pcd_lidar.txt"),
                        pts, fmt="%.6f")
+            # .pcd alongside txt, like the reference's open3d writes
+            # (``trainer.py:1147-1281``, ``tools.py:230-249``)
+            from nvsf_tpu.lib.tools import write_pcd
+            write_pcd(os.path.join(save_dir, f"{name}_{fi:04d}_lidar.pcd"),
+                      pts[:, :3], pts[:, 3])
             pose = np.array(scene.poses_lidar[fi], np.float64)
             pose[:3, 3] = pose[:3, 3] / cfg.scale + np.asarray(cfg.offset)
             pw = (pose @ np.column_stack(

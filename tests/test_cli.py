@@ -74,6 +74,7 @@ def test_cli_synthetic_train(tmp_path):
     assert any(f.endswith("_depth.png") for f in files)
     assert any(f.endswith("_pcd_lidar.txt") for f in files)
     assert any(f.endswith("_pcd_world.txt") for f in files)
+    assert any(f.endswith("_lidar.pcd") for f in files)
     assert "smoke_mesh.ply" in files
     # checkpoints + logs + validation artifacts exist
     assert os.path.isdir(os.path.join(ws, "checkpoints"))

@@ -72,6 +72,18 @@ def test_pad_pointclouds():
     assert out2.shape == (3, 2, 3) and mask2.sum() == 4
 
 
+def test_write_pcd(tmp_path):
+    from nvsf_tpu.lib.tools import write_pcd
+    pts = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+    path = str(tmp_path / "a.pcd")
+    write_pcd(path, pts, intensities=[0.5, 0.25])
+    lines = open(path).read().splitlines()
+    assert "FIELDS x y z intensity" in lines
+    assert "POINTS 2" in lines
+    vals = [float(v) for v in lines[-1].split()]
+    assert vals == [4.0, 5.0, 6.0, 0.25]
+
+
 def test_mlp_apply_blocks_equals_concat():
     spec = MLPSpec(in_dim=24, hidden_dim=16, out_dim=4, n_layers=3)
     params = spec.init(jax.random.PRNGKey(0))
