@@ -196,7 +196,43 @@ def _run_render_bench(reps=4):
     return n_rays / occ_dt, dense_rate
 
 
+def _wait_for_tpu(max_wait_s=1800, probe_timeout_s=75, sleep_s=60):
+    """Gate on tunnel liveness BEFORE this process initializes the backend.
+
+    The axon PJRT client blocks indefinitely inside make_c_api_client when
+    the pool tunnel is wedged (observed: a killed device program wedged it
+    for hours) — and a blocked C call cannot be timed out in-process. So
+    probe with short-lived subprocesses and only let the main process (and
+    its compile caches) touch jax once a probe succeeds."""
+    import subprocess
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float(jnp.ones((8,8)).sum()))"],
+                timeout=probe_timeout_s, capture_output=True)
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"[bench] TPU tunnel live after {attempt} probes "
+                          f"({time.time() - t0:.0f}s)", file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() - t0 > max_wait_s:
+            raise SystemExit(
+                f"TPU tunnel unreachable for {max_wait_s}s "
+                f"({attempt} probes) — refusing to hang in backend init")
+        print(f"[bench] TPU probe {attempt} failed; retrying in "
+              f"{sleep_s}s", file=sys.stderr)
+        time.sleep(sleep_s)
+
+
 def main():
+    _wait_for_tpu()
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       "/tmp/nvsf_tpu_jax_cache_tpu")
