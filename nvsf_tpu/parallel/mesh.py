@@ -81,7 +81,10 @@ def collective_stats(compiled) -> dict:
         r"all-to-all)(?:-start)?\(", re.M)
     for m in pat.finditer(text):
         shape_s, kind = m.group(1), m.group(2)
-        nbytes = 0
+        # async '-start' ops have TUPLE result shapes (operand alias +
+        # result [+ context tokens]); summing the elements double-counts
+        # the payload, so count the LARGEST element (= the moved buffer)
+        elems = []
         for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", shape_s):
             if dt not in _DTYPE_BYTES:
                 continue
@@ -89,7 +92,11 @@ def collective_stats(compiled) -> dict:
             for d in dims.split(","):
                 if d:
                     n *= int(d)
-            nbytes += n * _DTYPE_BYTES[dt]
+            elems.append(n * _DTYPE_BYTES[dt])
+        if shape_s.startswith("("):
+            nbytes = max(elems, default=0)
+        else:
+            nbytes = sum(elems)
         ent = stats.setdefault(kind, {"count": 0, "bytes": 0})
         ent["count"] += 1
         ent["bytes"] += nbytes

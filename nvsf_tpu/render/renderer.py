@@ -306,6 +306,12 @@ class RendererSpec:
         doubles the shared sigma-net matmul batch. Quadrature per branch is
         identical to ``run``/``run_occupancy``.
 
+        Known limitations of this (experimental, measured-slower,
+        default-off) path: one shared K for both branches (no
+        ``num_steps_occ_rgb``), no ``remat_chunks`` chunked density query,
+        and no ``upsample_steps`` importance resampling — the Trainer
+        refuses configs that would silently diverge from the separate path.
+
         Returns (lidar_out, camera_out[, extra]) — the two usual output
         dicts; ``extra["flow_extra"]`` carries flow for ``x_flow_extra``
         loss points when given.

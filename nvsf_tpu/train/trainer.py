@@ -302,6 +302,24 @@ class Trainer:
         }
 
         joint = cfg.enable_lidar and cfg.enable_rgb and cfg.joint_fusion
+        if joint:
+            # the experimental fused path evaluates BOTH branches in one
+            # density batch: per-branch sample budgets and the chunked
+            # remat query don't exist there — refuse configs that would
+            # silently train differently from the (default) separate path
+            if cfg.num_steps_occ_rgb and \
+                    cfg.num_steps_occ_rgb != cfg.num_steps_occ:
+                raise ValueError(
+                    "joint_fusion=True fuses both branches into one density "
+                    f"batch and cannot honor num_steps_occ_rgb="
+                    f"{cfg.num_steps_occ_rgb} != num_steps_occ="
+                    f"{cfg.num_steps_occ}; unset num_steps_occ_rgb or "
+                    "disable joint_fusion")
+            if cfg.remat_chunks > 1:
+                raise ValueError(
+                    "joint_fusion=True bypasses the remat_chunks chunked "
+                    "density query (run_joint evaluates the full joint "
+                    "batch); set remat_chunks=1 or disable joint_fusion")
 
         def step_fn(state, fi):
             key = state["key"]

@@ -93,6 +93,14 @@ def test_video_export_fallback(tmp_path):
         written = [p for p in paths if p.exists()]
         assert written, f"no video written for {stem}: {msgs}"
         assert written[0].stat().st_size > 0
+        if written[0].suffix == ".gif":
+            # pin the duration semantics: this imageio passes duration
+            # through in MILLISECONDS (older versions used seconds —
+            # a 100s/frame GIF would be a frozen animation)
+            from PIL import Image
+            im = Image.open(written[0])
+            im.seek(1)
+            assert 50 <= im.info.get("duration", 0) <= 200, im.info
 
 
 def test_novel_sensor_render(trained):

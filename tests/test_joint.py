@@ -139,3 +139,23 @@ def test_run_joint_matches_separate_occupancy():
                                atol=1e-7)
     np.testing.assert_allclose(out_c["image"], sep_c["image"], rtol=1e-4,
                                atol=1e-6)
+
+
+def test_joint_fusion_guards_incompatible_configs(tmp_path):
+    """The experimental fused path cannot honor per-branch K or
+    remat_chunks; the Trainer must refuse rather than silently diverge
+    from the default separate path."""
+    from nvsf_tpu.data.synthetic import make_synthetic_scene
+    from nvsf_tpu.train.trainer import Trainer
+    from test_trainer import SCENE_SPEC, tiny_config
+
+    scene = make_synthetic_scene(SCENE_SPEC, split="train")
+    with pytest.raises(ValueError, match="num_steps_occ_rgb"):
+        Trainer(tiny_config(enable_rgb=True, joint_fusion=True,
+                            render_mode="occupancy", num_steps_occ=16,
+                            num_steps_occ_rgb=32, occ_grid_size=16),
+                scene, workspace=str(tmp_path))
+    with pytest.raises(ValueError, match="remat_chunks"):
+        Trainer(tiny_config(enable_rgb=True, joint_fusion=True,
+                            remat_chunks=4),
+                scene, workspace=str(tmp_path))

@@ -73,8 +73,7 @@ def main():
     for n in (1, 2, 4, 8):
         mesh = make_mesh(n) if n > 1 else None
         tr = Trainer(cfg, scene, workspace="/tmp/nvsf_meshscale", mesh=mesh)
-        compiled = jax.jit(tr._make_train_step(patch=False)).lower(
-            tr.state, np.int32(0)).compile()
+        compiled = tr._step_random.lower(tr.state, np.int32(0)).compile()
         cs = collective_stats(compiled)
         ar = cs.get("all-reduce", {"count": 0, "bytes": 0})
         ag = cs.get("all-gather", {"count": 0, "bytes": 0})

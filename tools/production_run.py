@@ -4,9 +4,12 @@ Trains the SHIPPED flagship configuration (configs/kitti360_1908.txt
 shapes: 4-level x 8-feature hash encoders, 4-scale K-planes, flow + URF +
 error-map + patch schedule, occupancy render mode) on a synthetic
 stand-in scene at FULL KITTI-360 scale — 64 frames, 66x1030 panos,
-2048+2048 joint rays — through the real CLI epoch loop (interval-split
-scan dispatches, occupancy refresh cadence, checkpointing), and records
-step time, cold/warm compile time, and HBM high-water.
+2048+2048 joint rays — through the real Trainer epoch path (one
+train_one_epoch call per epoch: the trainer itself splits the epoch scan
+into occ_update_interval-sized dispatches, which both honors the
+instant-ngp refresh cadence and stays under the tunnel's ~60s
+device-program watchdog), and records step time, cold/warm compile time,
+and HBM high-water.
 
 This is the "one dataset-mount away" evidence that the production path
 sustains at scale, not just the bench harness.
@@ -35,14 +38,11 @@ def hbm_stats():
         return {}
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=3)
-    ap.add_argument("--frames", type=int, default=64)
-    ap.add_argument("--dispatch", type=int, default=8,
-                    help="steps per scan dispatch (tunnel watchdog bound)")
-    args = ap.parse_args()
-
+def build_flagship_trainer(frames: int, epochs: int, workspace: str):
+    """The SHIPPED flagship config (configs/kitti360_1908.txt) bound to a
+    synthetic stand-in scene at full KITTI-360 geometry. Shared by
+    production_run (throughput/HBM proof) and quality_run_full (quality
+    trajectory) so both measure the same setup."""
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       "/tmp/nvsf_tpu_jax_cache_tpu")
@@ -54,23 +54,36 @@ def main():
                                          make_synthetic_scene)
     from nvsf_tpu.train.trainer import Trainer
 
-    # flagship config values (shapes, losses, schedules) with the synthetic
-    # stand-in scene's geometry constants
     flag = parse_config_file("configs/kitti360_1908.txt")
-    spec = SyntheticSceneSpec(num_frames=args.frames, H_lidar=66,
-                              W_lidar=1030, H=94, W=352, max_depth=80.0,
-                              scale=1.0 / 81.0)
-    scene = make_synthetic_scene(spec, split="train")
+    spec = SyntheticSceneSpec(num_frames=frames, H_lidar=66, W_lidar=1030,
+                              H=94, W=352, max_depth=80.0, scale=1.0 / 81.0)
+    train_scene = make_synthetic_scene(spec, split="train")
+    val_scene = make_synthetic_scene(spec, split="val")
     overrides = dict(
         num_frames=spec.num_frames, scale=spec.scale, bound=1.0,
         min_near_lidar=1.0 * spec.scale, lidar_max_depth=80.0 * spec.scale,
         min_near=1.0 * spec.scale,
-        dataloader="synthetic", path="", workspace="/tmp/nvsf_prod",
-        epochs=args.epochs)
+        intrinsics_lidar=list(spec.intrinsics_lidar),
+        intrinsics_hoz_lidar=list(spec.intrinsics_hoz_lidar),
+        dataloader="synthetic", path="", workspace=workspace,
+        epochs=epochs)
     cfg_d = dict(flag)
     cfg_d.update(overrides)
     cfg = NVSFConfig.from_dict(cfg_d).finalize(
-        steps_per_epoch=len(scene))
+        steps_per_epoch=len(train_scene))
+    tr = Trainer(cfg, train_scene, workspace=workspace)
+    return cfg, tr, train_scene, val_scene
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--frames", type=int, default=64)
+    args = ap.parse_args()
+
+    t0 = time.time()
+    cfg, tr, scene, _ = build_flagship_trainer(
+        args.frames, args.epochs, "/tmp/nvsf_prod")
     print(json.dumps({"config": {
         "num_rays_lidar": cfg.num_rays_lidar, "num_rays": cfg.num_rays,
         "num_steps": cfg.num_steps, "num_steps_occ": cfg.num_steps_occ,
@@ -79,43 +92,26 @@ def main():
         "n_features_per_level_hash": cfg.n_features_per_level_hash,
         "flow": [cfg.flow_n_levels, cfg.flow_n_features_per_level],
         "enable_rgb": cfg.enable_rgb, "flow_loss": cfg.flow_loss,
-        "frames": len(scene), "pano": [scene.H_lidar, scene.W_lidar]}}),
-        flush=True)
+        "frames": len(scene), "pano": [scene.H_lidar, scene.W_lidar],
+        "occ_update_interval": cfg.occ_update_interval},
+        "init_s": round(time.time() - t0, 1),
+        "hbm_after_init": hbm_stats()}), flush=True)
 
-    t0 = time.time()
-    tr = Trainer(cfg, scene, workspace="/tmp/nvsf_prod")
-    print(json.dumps({"init_s": round(time.time() - t0, 1),
-                      "hbm_after_init": hbm_stats()}), flush=True)
-
-    # the tunnel watchdog kills >60s device programs: dispatch in
-    # interval-sized groups like the CLI does, but bound the group length
     rng = np.random.default_rng(0)
     for ep in range(1, args.epochs + 1):
         tr.epoch = ep
-        order = rng.permutation(len(scene))
         te0 = time.time()
-        # group dispatches at the occ interval (mirrors train_one_epoch's
-        # split) but cap each at --dispatch steps for the watchdog
-        done = 0
-        first_dispatch_s = None
-        while done < len(order):
-            n = min(args.dispatch, len(order) - done)
-            td = time.time()
-            tr.train_one_epoch(order=order[done:done + n])
-            dt = time.time() - td
-            if first_dispatch_s is None:
-                first_dispatch_s = dt
-            done += n
+        # ONE call per epoch: EMA updates once (decay 0.95/epoch, as the
+        # CLI loop does); the internal interval-split handles the watchdog
+        stats = tr.train_one_epoch(order=rng.permutation(len(scene)))
         ep_s = time.time() - te0
-        steps = len(order)
+        steps = len(scene)
         rays = cfg.num_rays_lidar + (cfg.num_rays if cfg.enable_rgb else 0)
-        warm_step = (ep_s - (first_dispatch_s or 0)) / max(
-            steps - args.dispatch, 1)
         print(json.dumps({
-            "epoch": ep, "epoch_s": round(ep_s, 1),
-            "first_dispatch_s": round(first_dispatch_s or 0, 1),
-            "warm_step_s": round(warm_step, 3),
-            "rays_per_sec": round(rays / warm_step, 1),
+            "epoch": ep, "loss": round(stats.loss, 3),
+            "epoch_s": round(ep_s, 1),
+            "rays_per_sec": round(rays * steps / ep_s, 1),
+            "note": "epoch 1 includes compile" if ep == 1 else "warm",
             "occ_refreshes": tr._occ_refresh_count,
             "hbm": hbm_stats()}), flush=True)
     tr.save_checkpoint(full=True)
