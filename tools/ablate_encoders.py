@@ -116,6 +116,10 @@ def main():
     ap.add_argument("--rgb-K", type=int, default=0,
                     help="camera-branch training K (0 = same as --occ-K)")
     ap.add_argument("--backend", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--seed", type=int, default=0,
+                    help="trainer seed; replicate an arm at another seed "
+                         "to quantify the noise floor behind the "
+                         "'within noise' calls")
     args = ap.parse_args()
     # the sandbox sitecustomize force-sets jax_platforms="axon,cpu"; the
     # env var alone cannot pick CPU (see tests/conftest.py)
@@ -124,7 +128,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     for name in args.shapes.split(","):
         quality_run(name, SHAPES[name], args.epochs, args.eval_every,
-                    occ_k=args.occ_K, eval_k=args.eval_K, rgb_k=args.rgb_K)
+                    seed=args.seed, occ_k=args.occ_K, eval_k=args.eval_K,
+                    rgb_k=args.rgb_K)
 
 
 if __name__ == "__main__":
