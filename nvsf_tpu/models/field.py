@@ -17,6 +17,7 @@ TPU-first notes:
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +61,11 @@ class NVSFFieldSpec:
     n_levels_hash: int = 8
     n_features_per_level_hash: int = 4
     log2_hashmap_size: int = 19
+    # per-plane (xyt, xzt, yzt) dynamic hash sizes (``hash_field.py:101``).
+    # On v5e the fused 3-query dynamic gather is the single largest step op;
+    # shrinking the folded table under XLA's ~1.5 MB VMEM-resident gather
+    # threshold roughly doubles its row rate (VALIDATION.md gather table).
+    hash_size_dynamic: Tuple[int, int, int] = (15, 13, 13)
     # MLPs
     num_layers_flow: int = 3
     hidden_dim_flow: int = 64
@@ -99,6 +105,7 @@ class NVSFFieldSpec:
             n_levels=self.n_levels_hash,
             n_features_per_level=self.n_features_per_level_hash,
             log2_hashmap_size=self.log2_hashmap_size,
+            hash_size_dynamic=tuple(self.hash_size_dynamic),
             remat_gather=self.encoder_remat)
 
     @property

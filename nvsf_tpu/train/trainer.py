@@ -52,6 +52,7 @@ def field_spec_from_config(cfg: NVSFConfig) -> NVSFFieldSpec:
         n_levels_hash=cfg.n_levels_hash,
         n_features_per_level_hash=cfg.n_features_per_level_hash,
         log2_hashmap_size=cfg.log2_hashmap_size,
+        hash_size_dynamic=tuple(cfg.hash_size_dynamic),
         num_layers_flow=cfg.num_layers_flow,
         hidden_dim_flow=cfg.hidden_dim_flow,
         flow_n_levels=cfg.flow_n_levels,

@@ -76,3 +76,16 @@ def test_config_roundtrip(tmp_path):
     cfg.save(path)
     d = parse_config_file(path)
     assert d["num_rays_lidar"] == 1024
+
+
+def test_hash_size_dynamic_threads_to_field_spec(tmp_path):
+    # per-plane dynamic hash sizes reach HashGrid4DSpec through the
+    # config (and survive a config-txt round trip)
+    from nvsf_tpu.train.trainer import field_spec_from_config
+
+    cfg = NVSFConfig(hash_size_dynamic=[13, 11, 11])
+    spec = field_spec_from_config(cfg)
+    assert spec.hash_spec.hash_size_dynamic == (13, 11, 11)
+    path = os.path.join(tmp_path, "dyn.txt")
+    cfg.save(path)
+    assert parse_config_file(path)["hash_size_dynamic"] == [13, 11, 11]
