@@ -102,7 +102,8 @@ class RendererSpec:
     def _cdtype(self):
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
-    def _query_density(self, params, pts, time, cal_lidar_color):
+    def _query_density(self, params, pts, time, cal_lidar_color,
+                       skip_warp=False):
         """Field density over a flat [M, 3] point batch.
 
         With remat_chunks > 1 the batch is processed in sequential chunks
@@ -112,7 +113,7 @@ class RendererSpec:
         reference's tcnn kernels recompute similarly)."""
         fn = lambda p: self.field.density(
             params, p, time, cal_lidar_color=cal_lidar_color,
-            compute_dtype=self._cdtype)
+            compute_dtype=self._cdtype, skip_warp=skip_warp)
         C = self.remat_chunks
         if C <= 1:
             return fn(pts)
@@ -126,7 +127,7 @@ class RendererSpec:
 
     # ------------------------------------------------------------------
     def run(self, params, rays_o, rays_d, time, *, cal_lidar_color=False,
-            perturb=False, key=None, bg_color=None):
+            perturb=False, key=None, bg_color=None, skip_warp=False):
         """Render a flat batch of rays (``renderer_dynamic.py:109-265``).
 
         rays_o, rays_d: [N, 3]; time: scalar in [0, 1].
@@ -165,7 +166,7 @@ class RendererSpec:
         xyzs = jnp.clip(xyzs, aabb[:3], aabb[3:])
 
         dout = self._query_density(params, xyzs.reshape(-1, 3), time,
-                                   cal_lidar_color)
+                                   cal_lidar_color, skip_warp=skip_warp)
         sigmas = dout["sigma"].reshape(N, T)
         geo_feat = dout["geo_feat"]
 
@@ -211,7 +212,7 @@ class RendererSpec:
     def run_occupancy(self, params, rays_o, rays_d, time, occ_spec, occ_grid,
                       *, num_steps_occ: int, cal_lidar_color=False,
                       perturb=False, key=None, bg_color=None,
-                      occ_thresh: float = 0.01):
+                      occ_thresh: float = 0.01, skip_warp=False):
         """Occupancy-accelerated rendering: T_coarse uniform candidates are
         compacted to the K nearest occupied samples per ray (static shapes),
         then the field is evaluated only at N x K points.
@@ -248,7 +249,7 @@ class RendererSpec:
         xyzs = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
         xyzs = jnp.clip(xyzs, aabb[:3], aabb[3:])
         dout = self._query_density(params, xyzs.reshape(-1, 3), time,
-                                   cal_lidar_color)
+                                   cal_lidar_color, skip_warp=skip_warp)
         sigmas = dout["sigma"].reshape(N, K)
         geo_feat = dout["geo_feat"]
 
@@ -413,7 +414,7 @@ class RendererSpec:
                              occ_grid, *, num_steps_occ: int,
                              cal_lidar_color=False, bg_color=None,
                              occ_thresh: float = 0.01, slab: int = 32,
-                             trans_eps: float = 1e-4):
+                             trans_eps: float = 1e-4, skip_warp=False):
         """Eval-only occupancy rendering with ALIVE-RAY EARLY TERMINATION.
 
         The K occupancy-compacted samples are composited in z-ordered slabs
@@ -450,7 +451,8 @@ class RendererSpec:
             occ_grid, rays_o, rays_d, z_cand, K, occ_thresh)     # [N, K]
         depth, image, weights_sum = self._stream_composite(
             params, rays_o, rays_d, time, z_vals, valid, sample_dist,
-            cal_lidar_color=cal_lidar_color, slab=S, trans_eps=trans_eps)
+            cal_lidar_color=cal_lidar_color, slab=S, trans_eps=trans_eps,
+            skip_warp=skip_warp)
 
         if not cal_lidar_color:
             if bg_color is None:
@@ -463,7 +465,7 @@ class RendererSpec:
 
     def _stream_composite(self, params, rays_o, rays_d, time, z_vals, valid,
                           sample_dist, *, cal_lidar_color, slab,
-                          trans_eps=1e-4):
+                          trans_eps=1e-4, skip_warp=False):
         """Early-exit slab compositor over PRE-COMPACTED samples.
 
         The while_loop stops when every ray is dead — transmittance below
@@ -506,7 +508,8 @@ class RendererSpec:
             xyzs = jnp.clip(xyzs, aabb[:3], aabb[3:])
             dout = self.field.density(params, xyzs.reshape(-1, 3), time,
                                       cal_lidar_color=cal_lidar_color,
-                                      compute_dtype=self._cdtype)
+                                      compute_dtype=self._cdtype,
+                                      skip_warp=skip_warp)
             sigmas = jnp.where(vs, dout["sigma"].reshape(N, S), 0.0)
             alphas = 1.0 - jnp.exp(-exponent * ds * self.density_scale
                                    * sigmas)
@@ -545,7 +548,7 @@ class RendererSpec:
     def _render_staged_occ(self, params, rays_o, rays_d, time, occ_spec,
                            occ_grid, K, occ_thresh, cal_lidar_color,
                            bg_color, slab: int | None = None,
-                           compact_chunk: int = 8192):
+                           compact_chunk: int = 8192, skip_warp=False):
         """Full-frame occupancy render with OCCUPANCY-SORTED chunking.
 
         The r2 marcher early-exited per 4096-ray chunk on
@@ -619,7 +622,8 @@ class RendererSpec:
             o, d, z, v, sd = args
             return self._stream_composite(
                 params, o, d, time, z, v, sd,
-                cal_lidar_color=cal_lidar_color, slab=S)
+                cal_lidar_color=cal_lidar_color, slab=S,
+                skip_warp=skip_warp)
 
         depth, image, wsum = jax.lax.map(chunk_fn,
                                          (ro_s, rd_s, z_s, v_s, sd_s))
@@ -662,14 +666,21 @@ class RendererSpec:
     def render(self, params, rays_o, rays_d, time, *, cal_lidar_color=False,
                staged=False, perturb=False, key=None, bg_color=None,
                occ_spec=None, occ_grid=None, num_steps_occ=None,
-               occ_thresh: float = 0.01):
+               occ_thresh: float = 0.01, skip_warp=False):
         """Flat [N, 3] ray batch -> outputs; staged mode chunks rays through
         ``lax.map`` with padding (``renderer_dynamic.py:286-316``).
 
         With ``occ_spec``/``occ_grid`` provided, staged rendering goes
         through the occupancy-compacted EARLY-TERMINATING marcher
         (``run_occupancy_stream``) instead of the dense ``num_steps`` run —
-        the production eval/render path (north-star render target)."""
+        the production eval/render path (north-star render target).
+
+        ``skip_warp=True`` renders with the t-query features only (no flow
+        eval, no ±1-frame blend) — ~2.6x fewer gather rows per sample. An
+        APPROXIMATION of the trained model (the blend is part of its
+        density definition): measured +53% CD / −0.75 dB PSNR on a dynamic
+        scene (VALIDATION.md render-K ablation), so it ships default-off
+        as a draft/preview mode (tools/ablate_render_k.py arms)."""
         use_occ = occ_spec is not None and occ_grid is not None
         if not staged:
             if use_occ:
@@ -677,15 +688,16 @@ class RendererSpec:
                     params, rays_o, rays_d, time, occ_spec, occ_grid,
                     num_steps_occ=num_steps_occ, occ_thresh=occ_thresh,
                     cal_lidar_color=cal_lidar_color, perturb=perturb,
-                    key=key, bg_color=bg_color)
+                    key=key, bg_color=bg_color, skip_warp=skip_warp)
             return self.run(params, rays_o, rays_d, time,
                             cal_lidar_color=cal_lidar_color, perturb=perturb,
-                            key=key, bg_color=bg_color)
+                            key=key, bg_color=bg_color, skip_warp=skip_warp)
 
         if use_occ:
             return self._render_staged_occ(
                 params, rays_o, rays_d, time, occ_spec, occ_grid,
-                num_steps_occ, occ_thresh, cal_lidar_color, bg_color)
+                num_steps_occ, occ_thresh, cal_lidar_color, bg_color,
+                skip_warp=skip_warp)
 
         N = rays_o.shape[0]
         C = min(self.max_ray_batch, N)
@@ -699,7 +711,7 @@ class RendererSpec:
             o, d = args
             r = self.run(params, o, d, time,
                          cal_lidar_color=cal_lidar_color, perturb=False,
-                         bg_color=bg_color)
+                         bg_color=bg_color, skip_warp=skip_warp)
             if cal_lidar_color:
                 return r["depth_lidar"], r["image_lidar"]
             return r["depth"], r["image"]

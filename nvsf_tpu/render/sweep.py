@@ -36,7 +36,7 @@ def _shard(mesh, ro, rd):
 
 @functools.lru_cache(maxsize=32)
 def _lidar_sweep_fn(rend, H, W, K_l, K_hoz, mesh, occ_spec, num_steps_occ,
-                    occ_thresh, with_grid):
+                    occ_thresh, with_grid, skip_warp=False):
     inds = jnp.arange(H * W, dtype=jnp.int32)
 
     def fn(params, ps, ts, occ_grid):
@@ -50,7 +50,7 @@ def _lidar_sweep_fn(rend, H, W, K_l, K_hoz, mesh, occ_spec, num_steps_occ,
                 kw = dict(occ_spec=occ_spec, occ_grid=occ_grid,
                           num_steps_occ=num_steps_occ, occ_thresh=occ_thresh)
             out = rend.render(params, ro, rd, t, cal_lidar_color=True,
-                              staged=True, **kw)
+                              staged=True, skip_warp=skip_warp, **kw)
             depth = out["depth_lidar"][:H * W].reshape(H, W)
             img = out["image_lidar"][:H * W]
             return (depth, img[:, 0].reshape(H, W), img[:, 1].reshape(H, W))
@@ -75,7 +75,8 @@ def render_lidar_sweep(rend, params, poses, times, H, W, intrinsics_lidar,
         rend, int(H), int(W), tuple(intrinsics_lidar),
         tuple(intrinsics_hoz_lidar), mesh,
         occ_kwargs.get("occ_spec"), occ_kwargs.get("num_steps_occ"),
-        occ_kwargs.get("occ_thresh"), with_grid)
+        occ_kwargs.get("occ_thresh"), with_grid,
+        bool(occ_kwargs.get("skip_warp", False)))
     depth, raydrop, intensity = fn(params, jnp.asarray(poses),
                                    jnp.asarray(times, jnp.float32),
                                    occ_kwargs.get("occ_grid"))
@@ -85,7 +86,7 @@ def render_lidar_sweep(rend, params, poses, times, H, W, intrinsics_lidar,
 
 @functools.lru_cache(maxsize=32)
 def _camera_sweep_fn(rend, H, W, mesh, occ_spec, num_steps_occ, occ_thresh,
-                     with_grid):
+                     with_grid, skip_warp=False):
     inds = jnp.arange(H * W, dtype=jnp.int32)
 
     def fn(params, ps, K, ts, occ_grid):
@@ -99,7 +100,8 @@ def _camera_sweep_fn(rend, H, W, mesh, occ_spec, num_steps_occ, occ_thresh,
                 kw = dict(occ_spec=occ_spec, occ_grid=occ_grid,
                           num_steps_occ=num_steps_occ, occ_thresh=occ_thresh)
             out = rend.render(params, ro, rd, t, cal_lidar_color=False,
-                              staged=True, bg_color=1.0, **kw)
+                              staged=True, bg_color=1.0,
+                              skip_warp=skip_warp, **kw)
             return (out["image"][:H * W].reshape(H, W, 3),
                     out["depth"][:H * W].reshape(H, W))
 
@@ -117,7 +119,8 @@ def render_camera_sweep(rend, params, poses, times, H, W, intrinsics,
     fn = _camera_sweep_fn(
         rend, int(H), int(W), mesh,
         occ_kwargs.get("occ_spec"), occ_kwargs.get("num_steps_occ"),
-        occ_kwargs.get("occ_thresh"), with_grid)
+        occ_kwargs.get("occ_thresh"), with_grid,
+        bool(occ_kwargs.get("skip_warp", False)))
     rgb, depth = fn(params, jnp.asarray(poses),
                     jnp.asarray(intrinsics, jnp.float32),
                     jnp.asarray(times, jnp.float32),

@@ -579,7 +579,8 @@ class Trainer:
         else:
             k = self.cfg.num_steps_occ_rgb or self.cfg.num_steps_occ
         return dict(occ_spec=self.occ_spec, occ_grid=occ_grid,
-                    num_steps_occ=k, occ_thresh=self.cfg.occ_thresh)
+                    num_steps_occ=k, occ_thresh=self.cfg.occ_thresh,
+                    skip_warp=bool(self.cfg.render_skip_warp))
 
     def _render_frame_lidar(self, params, fi, occ_grid=None):
         scene, data = self.scene, self.data
@@ -747,7 +748,7 @@ class Trainer:
         return self.unet_trained
 
     def _get_pano_renderer(self, H, W, K_l, K_hoz):
-        key = ("pano", H, W, K_l, K_hoz)
+        key = ("pano", H, W, K_l, K_hoz, bool(self.cfg.render_skip_warp))
         if key not in self._render_cache:
             def fn(params, pose, t, occ_grid=None):
                 inds = jnp.arange(H * W, dtype=jnp.int32)
@@ -763,7 +764,7 @@ class Trainer:
         return self._render_cache[key]
 
     def _get_view_renderer(self, H, W):
-        key = ("view", H, W)
+        key = ("view", H, W, bool(self.cfg.render_skip_warp))
         if key not in self._render_cache:
             def fn(params, pose, K, t, occ_grid=None):
                 inds = jnp.arange(H * W, dtype=jnp.int32)

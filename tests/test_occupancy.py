@@ -265,3 +265,84 @@ def test_occ_refresh_times_stratified(tmp_path):
     # one sample per stratum
     strata = np.floor((ts - lo) / (hi - lo) * S - 1e-9)
     np.testing.assert_array_equal(np.sort(strata), np.arange(S))
+
+
+def test_render_skip_warp_option(tmp_path):
+    """skip_warp renders: staged-occ equals direct run_occupancy with
+    skip_warp=True, the result differs from the full temporal blend (the
+    option really changes the query), and the config knob reaches the
+    trainer's render kwargs."""
+    from nvsf_tpu.render.renderer import RendererSpec
+    from test_renderer import TINY_FIELD
+    rend = RendererSpec(field=TINY_FIELD, bound=1.0, min_near_lidar=0.02,
+                        lidar_max_depth=0.9, num_steps=32, max_ray_batch=8)
+    spec = OccupancyGridSpec(grid_size=8, bound=1.0)
+    grid = spec.init()  # fully occupied
+    params = TINY_FIELD.init(jax.random.PRNGKey(0))
+    o = jnp.zeros((12, 3))
+    d = jax.random.normal(jax.random.PRNGKey(1), (12, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    kw = dict(occ_spec=spec, occ_grid=grid, num_steps_occ=32,
+              cal_lidar_color=True)
+    direct = rend.render(params, o, d, 0.5, skip_warp=True, **kw)
+    staged = rend.render(params, o, d, 0.5, skip_warp=True, staged=True,
+                         **kw)
+    np.testing.assert_allclose(np.asarray(staged["depth_lidar"]),
+                               np.asarray(direct["depth_lidar"]),
+                               rtol=1e-4, atol=1e-6)
+    # the option really changes the query (at init the flow net is ~0 and
+    # the time-bin tables nearly agree, so the difference is small but
+    # must be nonzero — bitwise equality would mean the flag didn't route)
+    full = rend.render(params, o, d, 0.5, **kw)
+    diff = np.abs(np.asarray(full["depth_lidar"])
+                  - np.asarray(direct["depth_lidar"]))
+    assert diff.max() > 0.0
+
+    from test_trainer import SCENE_SPEC, tiny_config
+    scene = make_synthetic_scene(SCENE_SPEC, split="train")
+    cfg = tiny_config(render_mode="occupancy", num_steps_occ=16,
+                      occ_grid_size=8, render_skip_warp=True)
+    tr = Trainer(cfg, scene, workspace=str(tmp_path), seed=0)
+    g = tr.state["occ_grid_lidar"]
+    assert tr._occ_kwargs(g, lidar=True)["skip_warp"] is True
+    cfg0 = tiny_config(render_mode="occupancy", num_steps_occ=16,
+                       occ_grid_size=8)
+    tr0 = Trainer(cfg0, scene, workspace=str(tmp_path), seed=0)
+    assert tr0._occ_kwargs(tr0.state["occ_grid_lidar"])["skip_warp"] is False
+
+
+def test_render_skip_warp_reaches_sweep():
+    """The batched sweep path (what evaluate()/refine() actually render
+    through) must honor occ_kwargs['skip_warp'] — a regression test for the
+    sweep factories dropping the flag (the quality ablation silently
+    measured identical arms)."""
+    from nvsf_tpu.render.renderer import RendererSpec
+    from nvsf_tpu.render.sweep import render_lidar_sweep
+    from nvsf_tpu.lib import rays as raylib
+    from test_renderer import TINY_FIELD
+    rend = RendererSpec(field=TINY_FIELD, bound=1.0, min_near_lidar=0.02,
+                        lidar_max_depth=0.9, num_steps=32, max_ray_batch=32)
+    spec = OccupancyGridSpec(grid_size=8, bound=1.0)
+    grid = spec.init()
+    params = TINY_FIELD.init(jax.random.PRNGKey(0))
+    H, W = 4, 8
+    K_l, K_hoz = (2.0, 26.9), (180.0, 360.0)
+    poses = np.eye(4, dtype=np.float32)[None]
+    times = np.array([0.5], np.float32)
+    base = dict(occ_spec=spec, occ_grid=grid, num_steps_occ=32,
+                occ_thresh=0.01)
+    sw_on = render_lidar_sweep(rend, params, poses, times, H, W, K_l, K_hoz,
+                               occ_kwargs=dict(base, skip_warp=True))
+    sw_off = render_lidar_sweep(rend, params, poses, times, H, W, K_l, K_hoz,
+                                occ_kwargs=dict(base, skip_warp=False))
+    assert np.abs(sw_on["depth"] - sw_off["depth"]).max() > 0.0
+    # and the sweep's skip_warp render equals the direct staged render on
+    # the same rays
+    inds = jnp.arange(H * W, dtype=jnp.int32)
+    ro, rd = raylib.get_lidar_rays(jnp.asarray(poses[0]), inds, H, W,
+                                   K_l, K_hoz)
+    direct = rend.render(params, ro, rd, 0.5, cal_lidar_color=True,
+                         staged=True, skip_warp=True, **base)
+    np.testing.assert_allclose(sw_on["depth"][0].reshape(-1),
+                               np.asarray(direct["depth_lidar"]),
+                               rtol=1e-4, atol=1e-6)

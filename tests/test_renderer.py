@@ -42,7 +42,7 @@ def test_compositing_single_surface_closed_form():
         geo_feat_dim = 4
 
         def density(self, params, x, t, cal_lidar_color=False,
-                    compute_dtype=jnp.float32):
+                    compute_dtype=jnp.float32, skip_warp=False):
             # dense wall beyond x > 0.35: huge sigma
             sigma = jnp.where(x[:, 0] > 0.35, 5e3, 0.0)
             return {"sigma": sigma, "geo_feat": jnp.zeros((x.shape[0], 4))}
@@ -111,7 +111,7 @@ def test_camera_background_blend():
         geo_feat_dim = 2
 
         def density(self, params, x, t, cal_lidar_color=False,
-                    compute_dtype=jnp.float32):
+                    compute_dtype=jnp.float32, skip_warp=False):
             return {"sigma": jnp.zeros(x.shape[0]),
                     "geo_feat": jnp.zeros((x.shape[0], 2))}
 

@@ -78,13 +78,20 @@ def main():
                       flush=True)
         tr.save_checkpoint()
 
-    for k_eval in (32, 24, 16):
-        tr.cfg = dataclasses.replace(tr.cfg, num_steps_occ=k_eval)
+    # arms: render-time K' ladder, plus skip_warp (render WITHOUT the flow
+    # eval / ±1-frame temporal blend — ~2.6x fewer gather rows per sample)
+    # at the trained K, quantifying the approximation cost of the fast
+    # render option (config `render_skip_warp`)
+    arms = [(32, False), (24, False), (16, False), (32, True), (24, True)]
+    for k_eval, sw in arms:
+        tr.cfg = dataclasses.replace(tr.cfg, num_steps_occ=k_eval,
+                                     render_skip_warp=sw)
         tr._render_cache.clear()
         res = evaluate(tr, val_scene, use_ema=True, log_fn=lambda *a: None)
         c = res["combined"]
         print(json.dumps({
             "render_K": k_eval, "flagship_equiv": k_eval * 4,
+            "skip_warp": sw,
             "CD": round(c["point"][0], 4), "F": round(c["point"][1], 4),
             "depth_RMSE": round(c["depth"][0], 4),
             "raydrop_acc": round(c["raydrop"][1], 4),
