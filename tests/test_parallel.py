@@ -117,18 +117,26 @@ def test_sharded_step_collectives_and_flops():
     assert stats["flops"] > 0
 
 
+@pytest.mark.slow
 def test_mesh_two_epochs_and_checkpoint_roundtrip(tmp_path):
     """Two consecutive scan epochs + a checkpoint save/load UNDER the mesh:
     catches donation/aliasing bugs in the sharded step's buffers
-    (VERDICT r2 item 8)."""
+    (VERDICT r2 item 8).
+
+    slow tier: the cost is compiling the mesh-sharded step (~35s, epoch
+    length is irrelevant); the fast tier keeps mesh coverage via the
+    collectives/flops test below."""
     scene = make_synthetic_scene(SCENE_SPEC, split="train")
     tr = Trainer(tiny_config(num_rays_lidar=128, num_steps=16,
                              change_patch_size_lidar=[1]),
                  scene, workspace=str(tmp_path), seed=5, mesh=make_mesh(8))
+    # 2-step scans: epoch LENGTH is irrelevant to the donation/aliasing
+    # coverage (the scan carry is per-dispatch), and matching s3's scan
+    # shape keeps this to ONE compiled program per epoch variant
     tr.epoch = 1
-    s1 = tr.train_one_epoch(order=np.arange(len(scene)))
+    s1 = tr.train_one_epoch(order=np.arange(2))
     tr.epoch = 2
-    s2 = tr.train_one_epoch(order=np.arange(len(scene)))
+    s2 = tr.train_one_epoch(order=np.arange(2))
     assert np.isfinite(s1.loss) and np.isfinite(s2.loss)
     tr.save_checkpoint(full=True)
     tr2 = Trainer(tiny_config(num_rays_lidar=128, num_steps=16,
