@@ -91,7 +91,8 @@ def main(argv=None):
         train_scene_stub = test_scene  # trainer binds to a scene for shapes
         trainer = Trainer(cfg_run, train_scene_stub,
                           workspace=cfg_run.workspace, mesh=mesh)
-        if not trainer.load_checkpoint(cfg_run.ckpt):
+        if not trainer.load_checkpoint(cfg_run.ckpt,
+                                       prefer_refine=cfg_run.use_refine):
             raise FileNotFoundError(
                 f"no checkpoint '{cfg_run.ckpt}' in {cfg_run.workspace}")
         results_dir = os.path.join(cfg_run.workspace, "results")

@@ -24,7 +24,8 @@ def _to_numpy(tree):
 def save_checkpoint(workspace: str, name: str, epoch: int, global_step: int,
                     state: dict, stats: Optional[dict] = None,
                     full: bool = True, best: bool = False,
-                    max_keep_ckpt: int = 2, suffix: str = "") -> str:
+                    max_keep_ckpt: int = 2, suffix: str = "",
+                    unet_trained: bool = False) -> str:
     ckpt_dir = os.path.join(workspace, "checkpoints")
     os.makedirs(ckpt_dir, exist_ok=True)
     payload = {
@@ -35,7 +36,15 @@ def save_checkpoint(workspace: str, name: str, epoch: int, global_step: int,
         "ema": _to_numpy(state.get("ema_params")),
         "unet": _to_numpy(state.get("unet_params")),
         "unet_stats": _to_numpy(state.get("unet_stats")),
+        "unet_trained": bool(unet_trained),
     }
+    if not best:
+        # occupancy grids ride in every non-best checkpoint so a fresh
+        # process renders through the TRAINED occupied span, not a fully-
+        # occupied re-init; the reference keeps density_grid in the model
+        # state_dict and strips it only from best (``utils.py:669-671``)
+        payload["occ_grid_lidar"] = _to_numpy(state.get("occ_grid_lidar"))
+        payload["occ_grid_rgb"] = _to_numpy(state.get("occ_grid_rgb"))
     if full:
         payload["opt_state"] = _to_numpy(state.get("opt_state"))
         payload["error_map"] = _to_numpy(state.get("error_map"))
@@ -55,12 +64,23 @@ def save_checkpoint(workspace: str, name: str, epoch: int, global_step: int,
     return path
 
 
-def resolve_checkpoint(workspace: str, name: str, which: str) -> Optional[str]:
+def resolve_checkpoint(workspace: str, name: str, which: str,
+                       prefer_refine: bool = False) -> Optional[str]:
     """'scratch' -> None; 'latest'/'best' -> newest matching file; else treat
-    as a path (``utils.py:682-703``)."""
+    as a path (``utils.py:682-703``).
+
+    ``prefer_refine``: test/eval callers with ``use_refine`` set pass True so
+    the ``{name}_refine.pkl`` written after the U-Net refine stage
+    (``trainer.py:1010-1012`` in the reference) is selected over the plain
+    epoch checkpoints — it carries the trained U-Net. Training resume must
+    NOT set this (the refine checkpoint has no optimizer state)."""
     if which == "scratch":
         return None
     ckpt_dir = os.path.join(workspace, "checkpoints")
+    if prefer_refine and which in ("latest", "latest_model", "best"):
+        p = os.path.join(ckpt_dir, f"{name}_refine.pkl")
+        if os.path.exists(p):
+            return p
     if which in ("latest", "latest_model"):
         cands = sorted(glob.glob(os.path.join(ckpt_dir, f"{name}_ep*.pkl")))
         return cands[-1] if cands else None

@@ -123,25 +123,33 @@ class Trainer:
         self.rend = renderer_spec_from_config(cfg, self.field)
 
         # ---------------- device-resident frame data ----------------
+        # GT arrays are None on novel-sensor scenes (the overrides
+        # invalidate them, ``base_dataset.py:170-227``); the trainer must
+        # still construct for test/synthesis rendering — only training
+        # (which gathers GT) requires them.
         d = {}
         d["times"] = jnp.asarray(scene.times)
         if cfg.enable_lidar:
             d["poses_lidar"] = jnp.asarray(scene.poses_lidar)
-            d["panos"] = jnp.asarray(scene.images_lidar)          # [F,Hl,Wl,3]
-            d["panos_flat"] = d["panos"].reshape(len(scene), -1, 3)
-        if cfg.enable_rgb:
+            if scene.images_lidar is not None:
+                d["panos"] = jnp.asarray(scene.images_lidar)  # [F,Hl,Wl,3]
+                d["panos_flat"] = d["panos"].reshape(len(scene), -1, 3)
+        if cfg.enable_rgb and scene.poses is not None:
             d["poses"] = jnp.asarray(scene.poses)
-            d["images_flat"] = jnp.asarray(
-                scene.images.reshape(len(scene), -1, scene.images.shape[-1]))
+            if scene.images is not None:
+                d["images_flat"] = jnp.asarray(scene.images.reshape(
+                    len(scene), -1, scene.images.shape[-1]))
             if scene.image_depths is not None:
                 d["image_depths_flat"] = jnp.asarray(
                     scene.image_depths.reshape(len(scene), -1))
             d["intrinsics"] = jnp.asarray(scene.intrinsics, jnp.float32)
         self.data = d
 
-        # flow-loss point clouds (padded; ``trainer.py:1848-1912``)
+        # flow-loss point clouds (padded; ``trainer.py:1848-1912``) —
+        # GT-derived, so skipped (like every loss) on GT-less scenes
         self.pc_data = None
-        if cfg.flow_loss and cfg.enable_lidar:
+        if cfg.flow_loss and cfg.enable_lidar \
+                and scene.images_lidar is not None:
             self.pc_data = self._process_pointclouds()
 
         # occupancy grids (one per enabled branch) for accelerated rendering
@@ -859,10 +867,21 @@ class Trainer:
     def save_checkpoint(self, full=True, best=False, suffix=""):
         return ckpt.save_checkpoint(
             self.workspace, self.name, self.epoch, self.global_step,
-            self.state, self.stats, full=full, best=best, suffix=suffix)
+            self.state, self.stats, full=full, best=best, suffix=suffix,
+            unet_trained=self.unet_trained)
 
-    def load_checkpoint(self, which="latest") -> bool:
-        path = ckpt.resolve_checkpoint(self.workspace, self.name, which)
+    def load_checkpoint(self, which="latest",
+                        prefer_refine: Optional[bool] = None) -> bool:
+        """Restore the FULL production state: params, EMA, optimizer,
+        error maps, U-Net (+ its trained flag), and the occupancy grids —
+        so a fresh-process eval/test renders exactly what the training
+        process would (``nvsf/nerf/utils.py:682-747``).
+
+        ``prefer_refine`` defaults to False (training resume needs the
+        optimizer state the refine checkpoint lacks); test/eval callers
+        pass ``cfg.use_refine``."""
+        path = ckpt.resolve_checkpoint(self.workspace, self.name, which,
+                                       prefer_refine=bool(prefer_refine))
         if path is None:
             return False
         payload = ckpt.load_checkpoint(path)
@@ -874,10 +893,13 @@ class Trainer:
                              ("error_map", "error_map"),
                              ("error_map_rgb", "error_map_rgb"),
                              ("unet", "unet_params"),
-                             ("unet_stats", "unet_stats")):
+                             ("unet_stats", "unet_stats"),
+                             ("occ_grid_lidar", "occ_grid_lidar"),
+                             ("occ_grid_rgb", "occ_grid_rgb")):
             if payload.get(k_src) is not None and k_dst in self.state:
                 self.state[k_dst] = jax.tree.map(jnp.asarray,
                                                  payload[k_src])
+        self.unet_trained = bool(payload.get("unet_trained", False))
         self.epoch = payload.get("epoch", 0)
         self.global_step = payload.get("global_step", 0)
         self.state["step"] = jnp.asarray(self.global_step, jnp.int32)

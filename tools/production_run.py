@@ -38,11 +38,19 @@ def hbm_stats():
         return {}
 
 
-def build_flagship_trainer(frames: int, epochs: int, workspace: str):
+def build_flagship_trainer(frames: int, epochs: int, workspace: str,
+                           shape: str = "tuned", seed: int = 0):
     """The SHIPPED flagship config (configs/kitti360_1908.txt) bound to a
     synthetic stand-in scene at full KITTI-360 geometry. Shared by
     production_run (throughput/HBM proof) and quality_run_full (quality
-    trajectory) so both measure the same setup."""
+    trajectory) so both measure the same setup.
+
+    ``shape``: 'tuned' keeps the shipped TPU encoder shape (4x8 hash,
+    4x32 flow); 'reference' swaps in the reference's encoder shape
+    (8 levels x 4 features hash, 16x8 flow —
+    ``/root/reference/nvsf/nerf/models/hash_field.py:108-133``,
+    ``flow_field.py:68-84``) with EVERYTHING else identical — the
+    production-scale two-arm quality-equivalence comparison."""
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       "/tmp/nvsf_tpu_jax_cache_tpu")
@@ -55,6 +63,11 @@ def build_flagship_trainer(frames: int, epochs: int, workspace: str):
     from nvsf_tpu.train.trainer import Trainer
 
     flag = parse_config_file("configs/kitti360_1908.txt")
+    if shape == "reference":
+        flag.update(n_levels_hash=8, n_features_per_level_hash=4,
+                    flow_n_levels=16, flow_n_features_per_level=8)
+    elif shape != "tuned":
+        raise ValueError(f"unknown shape {shape!r}")
     spec = SyntheticSceneSpec(num_frames=frames, H_lidar=66, W_lidar=1030,
                               H=94, W=352, max_depth=80.0, scale=1.0 / 81.0)
     train_scene = make_synthetic_scene(spec, split="train")
@@ -71,7 +84,7 @@ def build_flagship_trainer(frames: int, epochs: int, workspace: str):
     cfg_d.update(overrides)
     cfg = NVSFConfig.from_dict(cfg_d).finalize(
         steps_per_epoch=len(train_scene))
-    tr = Trainer(cfg, train_scene, workspace=workspace)
+    tr = Trainer(cfg, train_scene, workspace=workspace, seed=seed)
     return cfg, tr, train_scene, val_scene
 
 

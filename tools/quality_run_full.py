@@ -11,11 +11,23 @@ reference's quality loop is ``/root/reference/nvsf/nerf/trainer.py:1019-1099``
 (train) + ``:1458-1846`` (eval every ``eval_interval``); this is that loop
 at that scale, one dataset mount away from the real thing.
 
+Two-arm mode (VERDICT r3 item 1): ``--shape reference`` trains the SAME
+full-scale run with the reference encoder shape (8x4 hash, 16x8 flow);
+``--seed`` varies init/sampling. Comparing matched-epoch evals between
+arms, against the seed spread, grounds the tuned-shape quality-equivalence
+claim at production scale (2^19 tables, 66x1030 panos, 63 train frames).
+
 Each epoch is ONE train_one_epoch call (the trainer's internal
 interval-split handles the watchdog), so EMA decays once per epoch exactly
 like the CLI loop and the reported loss is the true epoch mean.
 
-Usage: python tools/quality_run_full.py [--epochs 60] [--eval-every 15]
+The run checkpoints (full state incl. occupancy grids + error maps) at
+every eval and supports ``--resume``: a crashed/killed run relaunched with
+the same args continues from the last checkpointed epoch — multi-hour
+tunnel-backed runs can ride through resets.
+
+Usage: python tools/quality_run_full.py [--epochs 120] [--eval-every 15]
+           [--shape tuned|reference] [--seed 0] [--resume]
 Writes one JSON line per epoch and per eval to stdout.
 """
 
@@ -31,27 +43,65 @@ import numpy as np
 from production_run import build_flagship_trainer, hbm_stats
 
 
+def wait_for_tpu(max_wait_s=1800, probe_timeout_s=75, sleep_s=60):
+    """Gate on tunnel liveness BEFORE touching jax in this process (the
+    axon PJRT client can block indefinitely in make_c_api_client when the
+    tunnel is wedged; a blocked C call cannot be timed out in-process)."""
+    import subprocess
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float(jnp.ones((8,8)).sum()))"],
+                timeout=probe_timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() - t0 > max_wait_s:
+            raise SystemExit(f"TPU tunnel unreachable for {max_wait_s}s")
+        print(json.dumps({"probe_failed": attempt}), flush=True)
+        time.sleep(sleep_s)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--eval-every", type=int, default=15)
     ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--shape", choices=["tuned", "reference"],
+                    default="tuned")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--workspace", default=None)
     args = ap.parse_args()
 
+    wait_for_tpu()
     t0 = time.time()
+    ws = args.workspace or f"/tmp/nvsf_quality_{args.shape}_s{args.seed}"
     cfg, tr, train_scene, val_scene = build_flagship_trainer(
-        args.frames, args.epochs, "/tmp/nvsf_quality")
+        args.frames, args.epochs, ws, shape=args.shape, seed=args.seed)
     from nvsf_tpu.train.evaluate import evaluate
+    start_ep = 1
+    if args.resume and tr.load_checkpoint("latest"):
+        start_ep = tr.epoch + 1
+        print(json.dumps({"resumed_from_epoch": tr.epoch}), flush=True)
     print(json.dumps({"config": {
+        "shape": args.shape, "seed": args.seed,
         "rays": [cfg.num_rays_lidar, cfg.num_rays],
         "K": [cfg.num_steps_occ, cfg.num_steps_occ_rgb],
         "hash": [cfg.n_levels_hash, cfg.n_features_per_level_hash],
         "flow": [cfg.flow_n_levels, cfg.flow_n_features_per_level],
+        "log2_hashmap": cfg.log2_hashmap_size,
         "frames": [len(train_scene), len(val_scene)],
         "pano": [train_scene.H_lidar, train_scene.W_lidar]}}), flush=True)
 
-    rng = np.random.default_rng(0)
-    for ep in range(1, args.epochs + 1):
+    rng = np.random.default_rng(args.seed * 1000 + start_ep)
+    for ep in range(start_ep, args.epochs + 1):
         tr.epoch = ep
         te0 = time.time()
         stats = tr.train_one_epoch(order=rng.permutation(len(train_scene)))
@@ -60,12 +110,13 @@ def main():
                           "t": round(time.time() - t0, 1),
                           **hbm_stats()}), flush=True)
         if ep % args.eval_every == 0 or ep == args.epochs:
+            tr.save_checkpoint(full=True)
             tv0 = time.time()
             res = evaluate(tr, val_scene, use_ema=True,
                            log_fn=lambda *a: None)
             c = res["combined"]
             print(json.dumps({
-                "eval_epoch": ep,
+                "eval_epoch": ep, "shape": args.shape, "seed": args.seed,
                 "CD": round(c["point"][0], 4),
                 "F": round(c["point"][1], 4),
                 "depth_RMSE": round(c["depth"][0], 4),
