@@ -29,8 +29,12 @@ def _np(x):
     return np.asarray(x)
 
 
-def fscore_from_dists(dist1, dist2, threshold=0.001):
-    """F-score from squared NN distances (``error_matrices.py:12-26``)."""
+def fscore_from_dists(dist1, dist2, threshold=0.05):
+    """F-score from squared NN distances (``error_matrices.py:12-26``).
+
+    Default threshold is the 0.05 (monoSDF) value every caller actually
+    uses (``error_matrices.py:337``); the reference's own signature default
+    of 0.001 is never exercised."""
     p1 = float((dist1 < threshold).mean())
     p2 = float((dist2 < threshold).mean())
     if p1 + p2 == 0:
@@ -230,9 +234,12 @@ class _L4DMeter(Meter):
         t = np.clip(_np(truths) / self.scale, self.min_v, self.max_v)
         rmse = float(np.sqrt(((t - p) ** 2).mean()))
         medae = float(np.median(np.abs(t - p)))
-        lp = self.lpips._lpips(p, t)
         p2 = p[0] if p.ndim == 3 else p
         t2 = t[0] if t.ndim == 3 else t
+        # single-channel [H, W] panos: the reference squeezes the batch dim
+        # and lets torch broadcast to 3 channels inside lpips
+        # (``error_matrices.py:276-277``); lpips_jax stacks explicitly
+        lp = self.lpips._lpips(p2, t2)
         ssim = ssim_skimage(p2, t2, data_range=float(t.max() - t.min()))
         psnr = float(10 * np.log10(self.max_v ** 2 / ((p - t) ** 2).mean()))
         self.V.append([rmse, medae, lp, ssim, psnr])

@@ -16,14 +16,24 @@ import numpy as np
 from nvsf_tpu.lib import convert, masks as masklib, metrics as M
 
 
+def _lpips_meter(cfg):
+    """One shared LPIPS instance per meter suite; weights resolve from the
+    ``lpips_weights`` config flag, else the ``NVSF_TPU_LPIPS_WEIGHTS`` env
+    var (LPIPSMeter's own fallback), else the meter reports NaN."""
+    return M.LPIPSMeter(
+        weights_path=getattr(cfg, "lpips_weights", "") or None)
+
+
 def build_lidar_meters(cfg) -> Dict:
     """Meter suite per ``main_nvsf.py:224-232``."""
     return {
         "point": M.PointsMeter(scale=cfg.scale,
                                intrinsics=cfg.intrinsics_lidar,
                                intrinsics_hoz=cfg.intrinsics_hoz_lidar),
-        "depth": M.DepthMeter_L4D(scale=cfg.scale),
-        "intensity": M.IntensityMeter_L4D(scale=cfg.intensity_inv_scale),
+        "depth": M.DepthMeter_L4D(scale=cfg.scale,
+                                  lpips_meter=_lpips_meter(cfg)),
+        "intensity": M.IntensityMeter_L4D(scale=cfg.intensity_inv_scale,
+                                          lpips_meter=_lpips_meter(cfg)),
         "raydrop": M.RaydropMeter(ratio=cfg.raydrop_ratio),
     }
 
@@ -33,9 +43,36 @@ def build_camera_meters(cfg) -> Dict:
     return {
         "rmse": M.RMSEMeter(rgb_metric=True),
         "psnr": M.PSNRMeter(),
-        "lpips": M.LPIPSMeter(),
+        "lpips": _lpips_meter(cfg),
         "ssim": M.SSIMMeter(),
     }
+
+
+def lidar_category_masks(pred_depth, gt_depth, pose_lidar, annotations, *,
+                         scale, offset, intrinsics_lidar,
+                         intrinsics_hoz_lidar, max_depth):
+    """Per-category (pred_mask, gt_mask) pairs for the LiDAR meters.
+
+    The reference computes a pred-derived AND a gt-derived object mask and
+    applies each to ITS OWN operand — ``preds_depth * static_obj_mask_pred``
+    vs ``gt_depth * static_obj_mask_gt``
+    (``nvsf/nerf/trainer.py:1586-1626``) — so imperfect predicted depth
+    cannot leak foreground pixels into the gt operand (or vice versa)."""
+    H, W = np.asarray(gt_depth).shape
+    ones = np.ones((H, W), np.float32)
+    cats = {"combined": (ones, ones)}
+    if annotations:
+        kw = dict(scale=scale, offset=offset,
+                  intrinsics_lidar=intrinsics_lidar,
+                  intrinsics_hoz_lidar=intrinsics_hoz_lidar,
+                  max_depth=max_depth)
+        static_p, dyn_p = masklib.compute_object_masks_pano(
+            pred_depth, pose_lidar, annotations, **kw)
+        static_g, dyn_g = masklib.compute_object_masks_pano(
+            gt_depth, pose_lidar, annotations, **kw)
+        cats["background"] = (static_p, static_g)
+        cats["foreground"] = (dyn_p, dyn_g)
+    return cats
 
 
 def _save_pano_png(path, arr, vmax=None):
@@ -116,24 +153,21 @@ def evaluate(trainer, scene, *, use_refine: bool = False, use_ema: bool = True,
             gt_int = gt[:, :, 1] * gt_raydrop
             gt_depth = gt[:, :, 2] * gt_raydrop
 
-            cat_masks = {"combined": np.ones_like(gt_raydrop)}
-            if has_ann:
-                static_m, dyn_m = masklib.compute_object_masks_pano(
-                    pred_depth, scene.poses_lidar[fi], ann,
-                    scale=cfg.scale, offset=cfg.offset,
-                    intrinsics_lidar=scene.intrinsics_lidar,
-                    intrinsics_hoz_lidar=scene.intrinsics_hoz_lidar,
-                    max_depth=cfg.lidar_max_depth / cfg.scale)
-                cat_masks["background"] = static_m
-                cat_masks["foreground"] = dyn_m
-            for cat, m in cat_masks.items():
+            cat_masks = lidar_category_masks(
+                pred_depth, gt_depth, scene.poses_lidar[fi],
+                ann if has_ann else None,
+                scale=cfg.scale, offset=cfg.offset,
+                intrinsics_lidar=scene.intrinsics_lidar,
+                intrinsics_hoz_lidar=scene.intrinsics_hoz_lidar,
+                max_depth=cfg.lidar_max_depth / cfg.scale)
+            for cat, (mp, mg) in cat_masks.items():
                 mm = lidar_meters[cat]
-                mm["point"].update(pred_depth * m, gt_depth * m)
-                mm["depth"].update((pred_depth * m)[None],
-                                   (gt_depth * m)[None])
-                mm["intensity"].update((pred_int * m)[None],
-                                       (gt_int * m)[None])
-                mm["raydrop"].update(pred_raydrop * m, gt_raydrop * m)
+                mm["point"].update(pred_depth * mp, gt_depth * mg)
+                mm["depth"].update((pred_depth * mp)[None],
+                                   (gt_depth * mg)[None])
+                mm["intensity"].update((pred_int * mp)[None],
+                                       (gt_int * mg)[None])
+                mm["raydrop"].update(pred_raydrop * mp, gt_raydrop * mg)
 
             if write_outputs and save_dir:
                 os.makedirs(save_dir, exist_ok=True)

@@ -68,21 +68,18 @@ def make_criterion(name: str, scale: float = 1.0) -> Callable:
 
 def lidar_losses(pred_raydrop, pred_intensity, pred_depth,
                  gt_raydrop, gt_intensity, gt_depth, criterion: Dict,
-                 alpha_d=1.0, alpha_i=0.1, alpha_r=0.01, smooth_factor=0.0,
-                 raydrop_is_bce=False):
+                 alpha_d=1.0, alpha_i=0.1, alpha_r=0.01, smooth_factor=0.0):
     """Depth / intensity / ray-drop terms (``trainer.py:186-219``).
 
     All preds/gts are [N]; intensity & depth are already masked by
     gt_raydrop by the caller. Returns (per-ray loss [N], parts dict).
     """
     gt_raydrop_s = jnp.clip(gt_raydrop, smooth_factor, 1.0 - smooth_factor)
-    rd_pred = pred_raydrop
-    if raydrop_is_bce:
-        # BCE-with-logits consumes raw logits; the sigmoid the reference
-        # applies pre-loss (``trainer.py:208-209``) is folded in here.
-        loss_rd = alpha_r * criterion["raydrop"](rd_pred, gt_raydrop_s)
-    else:
-        loss_rd = alpha_r * criterion["raydrop"](rd_pred, gt_raydrop_s)
+    # pred_raydrop arrives ready for the criterion: the trainer applies the
+    # sigmoid for the bce path BEFORE calling here (``trainer.py:435-436``
+    # in this repo, mirroring the reference's pre-loss sigmoid at
+    # ``nvsf/nerf/trainer.py:208-209``) — no branching needed at this level
+    loss_rd = alpha_r * criterion["raydrop"](pred_raydrop, gt_raydrop_s)
     loss_d = alpha_d * criterion["depth"](pred_depth, gt_depth)
     loss_i = alpha_i * criterion["intensity"](pred_intensity, gt_intensity)
     total = loss_d + loss_rd + loss_i

@@ -231,7 +231,11 @@ class Trainer:
                         skip_warp=True)["sigma"],
                     thresh=cfg.occ_thresh, times=ts)
             self._occ_update = jax.jit(_occ_upd, static_argnums=(4,))
-            self._last_occ_update = -1
+            # tick 0 counts as "already refreshed": the first refresh fires
+            # once global_step crosses occ_update_interval, regardless of
+            # dispatch chunking (max_dispatch_steps adds chunk boundaries
+            # BELOW the interval, which must not trigger an early refresh)
+            self._last_occ_update = 0
             self._occ_refresh_count = 0
         self._eval_lidar = jax.jit(self._render_frame_lidar)
         self._eval_camera = jax.jit(self._render_frame_camera)
@@ -654,15 +658,22 @@ class Trainer:
             interval = (cfg.occ_update_interval
                         if (self.occ_spec is not None
                             and cfg.occ_update_interval > 0) else 0)
-            if interval and len(order) > interval:
+            # dispatch chunk: refresh interval, optionally capped by
+            # max_dispatch_steps (tunnel watchdog kills ~60s programs; the
+            # refresh tick in _maybe_update_occ is keyed to global_step so
+            # extra chunk boundaries do NOT change the refresh cadence)
+            chunk = interval
+            if cfg.max_dispatch_steps > 0:
+                chunk = min(chunk or len(order), cfg.max_dispatch_steps)
+            if chunk and len(order) > chunk:
                 # FIXED chunk length: at most two compiled scan shapes
-                # (interval + tail) per epoch length. Refresh boundaries
+                # (chunk + tail) per epoch length. Refresh boundaries
                 # then drift within one chunk of the exact global-step
                 # multiple, which the tick logic tolerates — cadence is
                 # what matters, not exact alignment.
                 sums, count = {}, 0
-                for i0 in range(0, len(order), interval):
-                    sub = order[i0:i0 + interval]
+                for i0 in range(0, len(order), chunk):
+                    sub = order[i0:i0 + chunk]
                     self.state, metrics = scan(self.state, jnp.asarray(sub))
                     self.global_step += len(sub)
                     for k, v in metrics.items():
@@ -734,6 +745,7 @@ class Trainer:
         cfg = self.cfg
         max_epochs = max_epochs or cfg.epochs
         t0 = _time.time()
+        stats = EpochStats(loss=float("nan"), parts={})  # already-done guard
         for ep in range(self.epoch + 1, max_epochs + 1):
             self.epoch = ep
             stats = self.train_one_epoch()

@@ -10,6 +10,7 @@ import pytest
 from nvsf_tpu.scripts.main_nvsf import main as cli_main
 from nvsf_tpu.train.logging import (Logger, count_parameters, model_summary,
                                     save_sampling_heatmap)
+from test_preprocess import mini_kitti  # noqa: F401 — fixture import
 
 
 def test_logger_and_summary(tmp_path):
@@ -83,6 +84,52 @@ def test_cli_synthetic_train(tmp_path):
     assert os.path.exists(os.path.join(ws, "log_smoke.txt"))
     val = os.path.join(ws, "validation")
     assert any("error_matrix_combined" in f for f in os.listdir(val))
+
+
+@pytest.mark.slow
+def test_cli_novel_sensor_synthesis(mini_kitti, tmp_path_factory):
+    """The reference's headline novel-sensor capability end to end
+    (``base_dataset.py:170-227`` + ``trainer.py:1109-1283``): train on the
+    KITTI mini-fixture with the shipped-config loss flags (flow_loss,
+    use_error_map), then run ``--test`` with pose delta + new beam count +
+    new intrinsics — a GT-less scene — and assert pano/pcd artifacts."""
+    base, src, _ = mini_kitti
+    ws = tmp_path_factory.mktemp("ns")
+    from nvsf_tpu.preprocess import kitti360 as K
+    cfg_path = K.preprocess_kitti360(
+        src, base, "1908", recording="2013_05_28_drive_0000",
+        config_dir=str(ws / "configs"), workspace=str(ws / "run"),
+        log_fn=lambda *a: None, H=16, W=64)
+    common = [
+        "--config", str(cfg_path),
+        "--workspace", str(ws / "run"),
+        "--flow_loss", "--use_error_map",
+        "--render_mode", "occupancy", "--num_steps_occ", "16",
+        "--num_rays_lidar", "128", "--num_rays", "128",
+        "--num_steps", "32", "--refine_steps", "2",
+        "--n_levels_hash", "2", "--log2_hashmap_size", "8",
+        "--flow_n_levels", "2", "--flow_log2_hashmap_size", "6",
+        "--min_resolution", "8", "--n_levels_plane", "2",
+        "--base_resolution", "16", "--max_resolution", "64",
+    ]
+    cli_main(common + ["--epochs", "1", "--eval_interval", "100",
+                       "--ckpt", "scratch"])
+    # novel sensor: +1m z, 8 vertical beams, new vertical FoV
+    cli_main(common + [
+        "--test", "--ckpt", "latest",
+        "--delta_position", "0", "0", "1.0",
+        "--V_lidar_ch", "8", "--H_lidar_ch", "32",
+        "--intrinsics_lidar_new", "10.0", "40.0",
+        "--mesh_xyz_res", "16", "16", "8"])
+    res = os.path.join(str(ws / "run"), "results")
+    files = os.listdir(res)
+    assert any(f.endswith("_depth.png") for f in files)
+    assert any(f.endswith("_pcd_lidar.txt") for f in files)
+    assert any(f.endswith("_pcd_world.txt") for f in files)
+    # the rendered panos have the NOVEL beam geometry (8 + 2 extreme rows)
+    import imageio.v2 as imageio
+    depth_png = sorted(f for f in files if f.endswith("_depth.png"))[0]
+    assert imageio.imread(os.path.join(res, depth_png)).shape[:2] == (10, 32)
 
 
 def test_phase_timers():

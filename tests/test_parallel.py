@@ -124,8 +124,10 @@ def test_mesh_two_epochs_and_checkpoint_roundtrip(tmp_path):
     (VERDICT r2 item 8).
 
     slow tier: the cost is compiling the mesh-sharded step (~35s, epoch
-    length is irrelevant); the fast tier keeps mesh coverage via the
-    collectives/flops test below."""
+    length is irrelevant); the fast tier keeps compile-level mesh coverage
+    via the collectives/flops test above (lower/compile only — EXECUTED
+    sharded-step coverage lives in this slow test and in
+    __graft_entry__.dryrun_multichip, which the driver runs every round)."""
     scene = make_synthetic_scene(SCENE_SPEC, split="train")
     tr = Trainer(tiny_config(num_rays_lidar=128, num_steps=16,
                              change_patch_size_lidar=[1]),

@@ -54,15 +54,18 @@ def main():
     ]
     key = jax.random.PRNGKey(0)
     print(f"backend={jax.default_backend()}", flush=True)
-    for name, M, F, T in shapes:
-        kc, kv = jax.random.split(jax.random.fold_in(key, hash(name) % 97))
+    for si, (name, M, F, T) in enumerate(shapes):
+        # fold in the loop index, not hash(name): Python string hashes are
+        # salted per-process (PYTHONHASHSEED) and would make the benchmark
+        # inputs differ run to run
+        kc, kv = jax.random.split(jax.random.fold_in(key, si))
         cols = jax.random.randint(kc, (M,), 0, T, jnp.int32)
         vals = jax.random.normal(kv, (F, M), jnp.float32)
         print(f"{name:18s} M={M/1e6:.1f}M F={F} T={T/1e6:.2f}M:", flush=True)
         row = []
         for B in (1024, 2048, 4096):
-            fn = jax.jit(lambda c, v, B=B: segsum._segment_add_tpu_packed(
-                c, v, T, B))
+            # _segment_add_tpu_packed is already @jax.jit with static B/T
+            fn = lambda c, v, B=B: segsum._segment_add_tpu_packed(c, v, T, B)
             try:
                 ms = _time(fn, cols, vals, reps=args.reps)
                 row.append(f"B{B}={ms:.1f}ms")

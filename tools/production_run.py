@@ -39,7 +39,8 @@ def hbm_stats():
 
 
 def build_flagship_trainer(frames: int, epochs: int, workspace: str,
-                           shape: str = "tuned", seed: int = 0):
+                           shape: str = "tuned", seed: int = 0,
+                           extra_overrides: dict = None):
     """The SHIPPED flagship config (configs/kitti360_1908.txt) bound to a
     synthetic stand-in scene at full KITTI-360 geometry. Shared by
     production_run (throughput/HBM proof) and quality_run_full (quality
@@ -82,6 +83,7 @@ def build_flagship_trainer(frames: int, epochs: int, workspace: str,
         epochs=epochs)
     cfg_d = dict(flag)
     cfg_d.update(overrides)
+    cfg_d.update(extra_overrides or {})
     cfg = NVSFConfig.from_dict(cfg_d).finalize(
         steps_per_epoch=len(train_scene))
     tr = Trainer(cfg, train_scene, workspace=workspace, seed=seed)

@@ -78,13 +78,21 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--workspace", default=None)
+    ap.add_argument("--dispatch-steps", type=int, default=0,
+                    help="cap steps per scan dispatch (tunnel watchdog "
+                         "kills ~60s device programs; the reference-shape "
+                         "arm needs 8, the tuned shape fits at the "
+                         "default occ_update_interval=16)")
     args = ap.parse_args()
 
     wait_for_tpu()
     t0 = time.time()
     ws = args.workspace or f"/tmp/nvsf_quality_{args.shape}_s{args.seed}"
     cfg, tr, train_scene, val_scene = build_flagship_trainer(
-        args.frames, args.epochs, ws, shape=args.shape, seed=args.seed)
+        args.frames, args.epochs, ws, shape=args.shape, seed=args.seed,
+        extra_overrides=(
+            {"max_dispatch_steps": args.dispatch_steps}
+            if args.dispatch_steps else None))
     from nvsf_tpu.train.evaluate import evaluate
     start_ep = 1
     if args.resume and tr.load_checkpoint("latest"):
