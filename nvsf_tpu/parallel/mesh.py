@@ -58,29 +58,51 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def sample_shard_hint(mesh: Mesh):
+    """Constraint callback for flat per-sample tensors (leading axis =
+    rays x samples). Re-asserting the data sharding at the renderer's
+    flatten points keeps the SPMD partitioner from replicating encoder
+    activations mid-chain: without it, the backward of the sample-axis
+    reshapes all-gathered every plane/hash gather output (measured ~120 MB
+    of all-gathers per 1024+1024-ray step; harmless over ICI but pure
+    waste, and 15x wall overhead on CPU meshes)."""
+    def hint(a):
+        if getattr(a, "ndim", 0) == 0 or a.shape[0] % mesh.size != 0:
+            return a
+        spec = P(DATA_AXIS, *([None] * (a.ndim - 1)))
+        return jax.lax.with_sharding_constraint(
+            a, NamedSharding(mesh, spec))
+    return hint
+
+
 _DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s64": 8,
                 "s32": 4, "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1,
                 "pred": 1}
 
 
-def collective_stats(compiled) -> dict:
+def collective_stats(compiled, per_op: bool = False) -> dict:
     """Collective-op counts + payload bytes from a compiled executable's
     HLO — the comm evidence for the sharded step (SURVEY §2.3: grads ride
     an ICI all-reduce; eval gathers mirror ``trainer.py:1506-1524``).
 
     Returns {op_kind: {"count": n, "bytes": payload}} for all-reduce /
     all-gather / reduce-scatter / collective-permute / all-to-all, plus
-    per-device flops under "flops"."""
+    per-device flops under "flops". With ``per_op=True`` also returns
+    "ops": a list of {kind, bytes, op_name} — op_name is the XLA metadata
+    trail back to the producing JAX op, attributing each collective to its
+    source tensor (error-map scatter, chamfer points, flow batch, ...)."""
     import re
 
     text = compiled.as_text()
     stats = {}
+    ops = []
     pat = re.compile(
         r"^\s*(?:ROOT\s+)?\S+\s*=\s*((?:\([^)]*\)|\S+?))\s+"
         r"(all-reduce|all-gather|reduce-scatter|collective-permute|"
-        r"all-to-all)(?:-start)?\(", re.M)
+        r"all-to-all)(?:-start)?\((?:[^\n]*?"
+        r"metadata=\{[^}]*?op_name=\"([^\"]*)\")?", re.M)
     for m in pat.finditer(text):
-        shape_s, kind = m.group(1), m.group(2)
+        shape_s, kind, op_name = m.group(1), m.group(2), m.group(3)
         # async '-start' ops have TUPLE result shapes (operand alias +
         # result [+ context tokens]); summing the elements double-counts
         # the payload, so count the LARGEST element (= the moved buffer)
@@ -100,8 +122,13 @@ def collective_stats(compiled) -> dict:
         ent = stats.setdefault(kind, {"count": 0, "bytes": 0})
         ent["count"] += 1
         ent["bytes"] += nbytes
+        if per_op:
+            ops.append({"kind": kind, "bytes": nbytes,
+                        "op_name": op_name or ""})
     cost = compiled.cost_analysis()
     if isinstance(cost, (list, tuple)):
         cost = cost[0] if cost else {}
     stats["flops"] = float(cost.get("flops", 0.0)) if cost else 0.0
+    if per_op:
+        stats["ops"] = ops
     return stats

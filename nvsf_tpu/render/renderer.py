@@ -92,6 +92,12 @@ class RendererSpec:
                                    # streaming eval marcher (16 beat 32 at
                                    # every K in the r3 sweep: finer exit
                                    # granularity outweighs loop overhead)
+    shard_hint: object = None      # optional callable applied to flat
+                                   # per-sample tensors (leading axis =
+                                   # rays*samples) — set by the Trainer on
+                                   # mesh runs to re-assert ray sharding at
+                                   # the flatten points (parallel.mesh.
+                                   # sample_shard_hint); None = identity
 
     @property
     def aabb(self):
@@ -111,19 +117,22 @@ class RendererSpec:
         chunk instead of saving residuals for all M points at once — this is
         what makes 2048 rays x 768 samples trainable in 16 GB HBM (the
         reference's tcnn kernels recompute similarly)."""
+        h = self.shard_hint or (lambda a: a)
         fn = lambda p: self.field.density(
-            params, p, time, cal_lidar_color=cal_lidar_color,
+            params, h(p), time, cal_lidar_color=cal_lidar_color,
             compute_dtype=self._cdtype, skip_warp=skip_warp)
         C = self.remat_chunks
         if C <= 1:
-            return fn(pts)
+            out = fn(pts)
+            return {"sigma": h(out["sigma"]),
+                    "geo_feat": h(out["geo_feat"])}
         M = pts.shape[0]
         pad = (-M) % C
         pts_p = jnp.pad(pts, ((0, pad), (0, 0))).reshape(C, -1, 3)
         out = jax.lax.map(jax.checkpoint(fn), pts_p)
         sigma = out["sigma"].reshape(-1)[:M]
         geo = out["geo_feat"].reshape(M + pad, -1)[:M]
-        return {"sigma": sigma, "geo_feat": geo}
+        return {"sigma": h(sigma), "geo_feat": h(geo)}
 
     # ------------------------------------------------------------------
     def run(self, params, rays_o, rays_d, time, *, cal_lidar_color=False,
@@ -183,12 +192,14 @@ class RendererSpec:
             axis=-1)[:, :-1]
         weights = alphas * trans                                  # [N, T]
 
+        h = self.shard_hint or (lambda a: a)
         dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
         mask = (weights > 1e-4).reshape(-1)
-        rgbs = self.field.color(params, xyzs.reshape(-1, 3),
-                                dirs.reshape(-1, 3), geo_feat,
-                                cal_lidar_color=cal_lidar_color, mask=mask,
-                                compute_dtype=self._cdtype)
+        rgbs = self.field.color(params, h(xyzs.reshape(-1, 3)),
+                                h(dirs.reshape(-1, 3)), geo_feat,
+                                cal_lidar_color=cal_lidar_color,
+                                mask=h(mask), compute_dtype=self._cdtype)
+        rgbs = h(rgbs)
         out_dim = rgbs.shape[-1]
         rgbs = rgbs.reshape(N, T, out_dim)
 
@@ -271,12 +282,14 @@ class RendererSpec:
             axis=-1)[:, :-1]
         weights = alphas * trans
 
+        h = self.shard_hint or (lambda a: a)
         dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
         mask = ((weights > 1e-4) & valid).reshape(-1)
-        rgbs = self.field.color(params, xyzs.reshape(-1, 3),
-                                dirs.reshape(-1, 3), geo_feat,
-                                cal_lidar_color=cal_lidar_color, mask=mask,
-                                compute_dtype=self._cdtype)
+        rgbs = self.field.color(params, h(xyzs.reshape(-1, 3)),
+                                h(dirs.reshape(-1, 3)), geo_feat,
+                                cal_lidar_color=cal_lidar_color,
+                                mask=h(mask), compute_dtype=self._cdtype)
+        rgbs = h(rgbs)
         rgbs = rgbs.reshape(N, K, -1)
 
         weights_sum = weights.sum(axis=-1)

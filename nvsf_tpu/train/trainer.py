@@ -121,6 +121,13 @@ class Trainer:
 
         self.field = field_spec_from_config(cfg)
         self.rend = renderer_spec_from_config(cfg, self.field)
+        if mesh is not None:
+            # re-assert ray sharding at the renderer's sample-flatten
+            # points: keeps encoder activations shard-local through the
+            # fwd/bwd reshapes (see parallel.mesh.sample_shard_hint)
+            from nvsf_tpu.parallel.mesh import sample_shard_hint
+            object.__setattr__(self.rend, "shard_hint",
+                               sample_shard_hint(mesh))
 
         # ---------------- device-resident frame data ----------------
         # GT arrays are None on novel-sensor scenes (the overrides
