@@ -141,6 +141,19 @@ class Trainer:
             if scene.images_lidar is not None:
                 d["panos"] = jnp.asarray(scene.images_lidar)  # [F,Hl,Wl,3]
                 d["panos_flat"] = d["panos"].reshape(len(scene), -1, 3)
+                if (cfg.grad_norm_smooth or cfg.spatial_smooth
+                        or cfg.tv_loss or cfg.grad_loss):
+                    # GT-pano double gradients are a pure per-frame
+                    # function — precompute once instead of re-deriving
+                    # the full [Hl, Wl] maps inside every patch step
+                    # (``trainer.py:398-411`` recomputes per step too)
+                    from nvsf_tpu.train import losses as _L
+                    gxx, gyy = jax.vmap(
+                        lambda p: _L.pano_double_gradients(p[:, :, 2],
+                                                           cfg.scale))(
+                        d["panos"])
+                    d["pano_gxx_flat"] = gxx.reshape(len(scene), -1)
+                    d["pano_gyy_flat"] = gyy.reshape(len(scene), -1)
         if cfg.enable_rgb and scene.poses is not None:
             d["poses"] = jnp.asarray(scene.poses)
             if scene.images is not None:
@@ -502,11 +515,10 @@ class Trainer:
                             .reshape(npatch, ph, pw)
                         gd = (gt[:, 2] / cfg.scale).reshape(npatch, ph, pw)
                         grd = gt_raydrop.reshape(npatch, ph, pw)
-                        pano_depth = data["panos"][fi][:, :, 2]
-                        gxx, gyy = L.pano_double_gradients(pano_depth,
-                                                           cfg.scale)
-                        flat_xx = gxx.reshape(-1)[inds].reshape(npatch, ph, pw)
-                        flat_yy = gyy.reshape(-1)[inds].reshape(npatch, ph, pw)
+                        flat_xx = data["pano_gxx_flat"][fi][inds] \
+                            .reshape(npatch, ph, pw)
+                        flat_yy = data["pano_gyy_flat"][fi][inds] \
+                            .reshape(npatch, ph, pw)
                         gmx = (jnp.abs(flat_xx) < 0.05).astype(jnp.float32)
                         gmy = (jnp.abs(flat_yy) < 0.05).astype(jnp.float32)
                         sr = L.structural_regularizers(
