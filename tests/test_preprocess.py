@@ -199,6 +199,33 @@ def test_novel_sensor_overrides(mini_kitti):
     assert scene.images_lidar is None  # GT disabled after overrides
 
 
+def test_novel_sensor_camera_overrides(mini_kitti):
+    """Camera-side overrides (``base_dataset.py:198-221``): pose delta in
+    camera axes, resized image with cx/cy scaled (focal UNscaled — the
+    reference ships that scaling commented out), GT nulled."""
+    base, src, _ = mini_kitti
+    plain = load_scene(str(base), SEQ, "test", scale=0.02, offset=[0, 0, 0],
+                       enable_lidar=True, enable_rgb=True)
+    scene = load_scene(str(base), SEQ, "test", scale=0.02, offset=[0, 0, 0],
+                       enable_lidar=True, enable_rgb=True,
+                       novel_sensor={"delta_pos_camera": [0, 0, 0.5],
+                                     "H_new": 48, "W_new": 64})
+    assert scene.H == 48 and scene.W == 64
+    assert scene.images is None and scene.image_depths is None
+    # cx/cy scaled by W_new/W, H_new/H; focal untouched
+    np.testing.assert_allclose(scene.intrinsics[0, 2],
+                               plain.intrinsics[0, 2] * 64 / plain.W)
+    np.testing.assert_allclose(scene.intrinsics[1, 2],
+                               plain.intrinsics[1, 2] * 48 / plain.H)
+    np.testing.assert_allclose(scene.intrinsics[0, 0],
+                               plain.intrinsics[0, 0])
+    # pose moved (camera-axis remap of the delta)
+    assert not np.allclose(scene.poses[0], plain.poses[0])
+    # lidar side untouched by camera-only overrides
+    np.testing.assert_allclose(np.asarray(scene.intrinsics_lidar),
+                               np.asarray(plain.intrinsics_lidar))
+
+
 def test_annotations_parse(mini_kitti):
     base, src, _ = mini_kitti
     anns = K.load_3d_annotations(src, REC, [S, S + 1])
