@@ -36,17 +36,38 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=64)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--shape", choices=["tuned", "reference"],
+                    default="tuned")
+    ap.add_argument("--skip-patch", action="store_true",
+                    help="time only the random-epoch scan (quick A/Bs)")
+    ap.add_argument("--dispatch-steps", type=int, default=0)
+    ap.add_argument("--remat-chunks", type=int, default=None,
+                    help="override the shipped config's remat_chunks — "
+                         "the occupancy-mode step evaluates only K<=128 "
+                         "samples/ray, where the dense-768 remat is "
+                         "suspected pure overhead (bench already runs "
+                         "remat_chunks=1)")
     args = ap.parse_args()
 
     wait_for_tpu()
     import jax
 
+    over = {}
+    if args.remat_chunks is not None:
+        over["remat_chunks"] = args.remat_chunks
+    if args.dispatch_steps:
+        over["max_dispatch_steps"] = args.dispatch_steps
     cfg, tr, scene, _ = build_flagship_trainer(args.frames, 10,
-                                               "/tmp/nvsf_decomp")
+                                               "/tmp/nvsf_decomp",
+                                               shape=args.shape,
+                                               extra_overrides=over or None)
     n = len(scene)
     rays = cfg.num_rays_lidar + cfg.num_rays
-    interval = cfg.occ_update_interval
+    interval = cfg.max_dispatch_steps or cfg.occ_update_interval
     order = np.arange(interval, dtype=np.int32)
+    print(json.dumps({"shape": args.shape,
+                      "remat_chunks": cfg.remat_chunks,
+                      "dispatch_steps": interval}), flush=True)
 
     def fetch(state):
         jax.device_get(state["step"])
@@ -72,6 +93,8 @@ def main():
         return per_step
 
     t_rand = time_scan(tr._scan_random, "random_epoch_scan")
+    if args.skip_patch:
+        return
     t_patch = time_scan(tr._scan_patch, "patch_epoch_scan") \
         if tr._scan_patch is not None else t_rand
 

@@ -83,16 +83,23 @@ def main():
                          "kills ~60s device programs; the reference-shape "
                          "arm needs 8, the tuned shape fits at the "
                          "default occ_update_interval=16)")
+    ap.add_argument("--remat-chunks", type=int, default=None,
+                    help="override remat_chunks (quality-neutral: remat "
+                         "only recomputes; occupancy-mode steps fit HBM "
+                         "without it and run faster)")
     args = ap.parse_args()
 
     wait_for_tpu()
     t0 = time.time()
     ws = args.workspace or f"/tmp/nvsf_quality_{args.shape}_s{args.seed}"
+    over = {}
+    if args.dispatch_steps:
+        over["max_dispatch_steps"] = args.dispatch_steps
+    if args.remat_chunks is not None:
+        over["remat_chunks"] = args.remat_chunks
     cfg, tr, train_scene, val_scene = build_flagship_trainer(
         args.frames, args.epochs, ws, shape=args.shape, seed=args.seed,
-        extra_overrides=(
-            {"max_dispatch_steps": args.dispatch_steps}
-            if args.dispatch_steps else None))
+        extra_overrides=over or None)
     from nvsf_tpu.train.evaluate import evaluate
     start_ep = 1
     if args.resume and tr.load_checkpoint("latest"):
