@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--skip-patch", action="store_true",
                     help="time only the random-epoch scan (quick A/Bs)")
     ap.add_argument("--dispatch-steps", type=int, default=0)
+    ap.add_argument("--encoder-remat", type=int, default=None,
+                    help="override encoder_remat (0/1); bench runs 0 "
+                         "(faster, more HBM), the shipped config default "
+                         "was 1 — another bench-vs-production divergence")
     ap.add_argument("--remat-chunks", type=int, default=None,
                     help="override the shipped config's remat_chunks — "
                          "the occupancy-mode step evaluates only K<=128 "
@@ -55,6 +59,8 @@ def main():
     over = {}
     if args.remat_chunks is not None:
         over["remat_chunks"] = args.remat_chunks
+    if args.encoder_remat is not None:
+        over["encoder_remat"] = bool(args.encoder_remat)
     if args.dispatch_steps:
         over["max_dispatch_steps"] = args.dispatch_steps
     cfg, tr, scene, _ = build_flagship_trainer(args.frames, 10,
@@ -67,6 +73,7 @@ def main():
     order = np.arange(interval, dtype=np.int32)
     print(json.dumps({"shape": args.shape,
                       "remat_chunks": cfg.remat_chunks,
+                      "encoder_remat": cfg.encoder_remat,
                       "dispatch_steps": interval}), flush=True)
 
     def fetch(state):
