@@ -132,3 +132,26 @@ def collective_stats(compiled, per_op: bool = False) -> dict:
     if per_op:
         stats["ops"] = ops
     return stats
+
+
+def aggregate_collectives(ops, top: int = None):
+    """Group collective_stats(per_op=True)['ops'] rows by (kind, cleaned
+    op_name suffix), sorted by payload bytes — the shared attribution
+    formatter used by __graft_entry__.dryrun_multichip and
+    tools/mesh_walltime.py."""
+    import re
+
+    def clean(op_name):
+        parts = [p for p in op_name.split("/")
+                 if p and not p.startswith("jit(")]
+        tail = "/".join(parts[-3:]) if parts else op_name
+        return re.sub(r"\[[^\]]*\]", "", tail)
+
+    agg = {}
+    for op in ops:
+        key = (op["kind"], clean(op["op_name"]))
+        ent = agg.setdefault(key, {"count": 0, "bytes": 0})
+        ent["count"] += 1
+        ent["bytes"] += op["bytes"]
+    rows = sorted(agg.items(), key=lambda kv: -kv[1]["bytes"])
+    return rows[:top] if top else rows

@@ -38,13 +38,13 @@ def save_checkpoint(workspace: str, name: str, epoch: int, global_step: int,
         "unet_stats": _to_numpy(state.get("unet_stats")),
         "unet_trained": bool(unet_trained),
     }
-    if not best:
-        # occupancy grids ride in every non-best checkpoint so a fresh
-        # process renders through the TRAINED occupied span, not a fully-
-        # occupied re-init; the reference keeps density_grid in the model
-        # state_dict and strips it only from best (``utils.py:669-671``)
-        payload["occ_grid_lidar"] = _to_numpy(state.get("occ_grid_lidar"))
-        payload["occ_grid_rgb"] = _to_numpy(state.get("occ_grid_rgb"))
+    # occupancy grids ride in EVERY checkpoint (incl. best) so a fresh
+    # process renders through the TRAINED occupied span, not a fully-
+    # occupied re-init. The reference strips density_grid only from best
+    # (``utils.py:669-671``) because its test renderer never consumes the
+    # grid; this port's occupancy-mode renders do, so best must carry it.
+    payload["occ_grid_lidar"] = _to_numpy(state.get("occ_grid_lidar"))
+    payload["occ_grid_rgb"] = _to_numpy(state.get("occ_grid_rgb"))
     if full:
         payload["opt_state"] = _to_numpy(state.get("opt_state"))
         payload["error_map"] = _to_numpy(state.get("error_map"))
@@ -80,7 +80,17 @@ def resolve_checkpoint(workspace: str, name: str, which: str,
     if prefer_refine and which in ("latest", "latest_model", "best"):
         p = os.path.join(ckpt_dir, f"{name}_refine.pkl")
         if os.path.exists(p):
-            return p
+            # staleness guard: training resumed PAST the refine stage
+            # writes newer epoch checkpoints — those carry the user's
+            # asked-for params; a pre-resume refine pkl must not shadow
+            # them (its U-Net refined an older field)
+            newer = [q for q in
+                     glob.glob(os.path.join(ckpt_dir, f"{name}_ep*.pkl"))
+                     + [os.path.join(ckpt_dir, f"{name}_best.pkl")]
+                     if os.path.exists(q)
+                     and os.path.getmtime(q) > os.path.getmtime(p)]
+            if not newer:
+                return p
     if which in ("latest", "latest_model"):
         cands = sorted(glob.glob(os.path.join(ckpt_dir, f"{name}_ep*.pkl")))
         return cands[-1] if cands else None

@@ -57,11 +57,17 @@ def lidar_category_masks(pred_depth, gt_depth, pose_lidar, annotations, *,
     applies each to ITS OWN operand — ``preds_depth * static_obj_mask_pred``
     vs ``gt_depth * static_obj_mask_gt``
     (``nvsf/nerf/trainer.py:1586-1626``) — so imperfect predicted depth
-    cannot leak foreground pixels into the gt operand (or vice versa)."""
+    cannot leak foreground pixels into the gt operand (or vice versa).
+
+    ``annotations=None`` -> combined only (unannotated scene).
+    ``annotations=[]`` (annotated scene, frame with zero boxes) -> the
+    background mask is the full frame and foreground is empty, exactly the
+    reference's else-branch (``trainer.py:1598-1626``) — such frames still
+    update the category meters."""
     H, W = np.asarray(gt_depth).shape
     ones = np.ones((H, W), np.float32)
     cats = {"combined": (ones, ones)}
-    if annotations:
+    if annotations is not None:
         kw = dict(scale=scale, offset=offset,
                   intrinsics_lidar=intrinsics_lidar,
                   intrinsics_hoz_lidar=intrinsics_hoz_lidar,

@@ -89,11 +89,16 @@ def test_category_masks_follow_reference_protocol():
         oracle = M.DepthMeter_L4D(scale=SCENE_SPEC.scale)
         oracle.update((pred_depth * op)[None], (gt_depth * og)[None])
         np.testing.assert_allclose(m.measure(), oracle.measure())
-        # and the old (single-mask) protocol is measurably different
+        # and the old (single-mask) protocol is measurably different —
+        # compare FINITE columns only (LPIPS is NaN without weights, and
+        # allclose on NaN pairs is vacuously False)
         old = M.DepthMeter_L4D(scale=SCENE_SPEC.scale)
         old.update((pred_depth * op)[None], (gt_depth * op)[None])
-        assert not np.allclose(np.asarray(old.measure()),
-                               np.asarray(oracle.measure()))
+        a = np.asarray(old.measure())
+        b = np.asarray(oracle.measure())
+        fin = np.isfinite(a) & np.isfinite(b)
+        assert fin.sum() >= 4, (a, b)
+        assert not np.allclose(a[fin], b[fin]), (a, b)
 
 
 def test_evaluate_produces_all_categories(trained, tmp_path):

@@ -36,13 +36,6 @@ if "xla_force_host_platform_device_count" not in flags:
 import numpy as np
 
 
-def _clean(op_name: str) -> str:
-    """Collapse an XLA op_name trail to its meaningful JAX-source suffix."""
-    parts = [p for p in op_name.split("/") if p and not p.startswith("jit(")]
-    tail = "/".join(parts[-3:]) if parts else op_name
-    return re.sub(r"\[[^\]]*\]", "", tail)
-
-
 def build(rays, mesh):
     from nvsf_tpu.config import NVSFConfig
     from nvsf_tpu.data.synthetic import (SyntheticSceneSpec,
@@ -94,7 +87,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     except Exception:
         pass
-    from nvsf_tpu.parallel.mesh import collective_stats, make_mesh
+    from nvsf_tpu.parallel.mesh import (aggregate_collectives,
+                                        collective_stats, make_mesh)
 
     t1 = time_steps(build(args.rays, None), args.steps)
     tr8 = build(args.rays, make_mesh(8))
@@ -110,15 +104,8 @@ def main():
 
     compiled = tr8._step_random.lower(tr8.state, np.int32(0)).compile()
     cs = collective_stats(compiled, per_op=True)
-    agg = {}
-    for op in cs["ops"]:
-        key = (op["kind"], _clean(op["op_name"]))
-        ent = agg.setdefault(key, {"count": 0, "bytes": 0})
-        ent["count"] += 1
-        ent["bytes"] += op["bytes"]
-    rows = sorted(((k, v) for k, v in agg.items()),
-                  key=lambda kv: -kv[1]["bytes"])
-    total = sum(v["bytes"] for _, v in agg.items())
+    rows = aggregate_collectives(cs["ops"])
+    total = sum(v["bytes"] for _, v in rows)
     print(json.dumps({"collective_total_bytes": total}), flush=True)
     for (kind, name), v in rows[:14]:
         print(json.dumps({"kind": kind, "source": name, **v}), flush=True)

@@ -126,8 +126,11 @@ def main():
     print(json.dumps({"component": "checkpoint_save",
                       "s": round(ckpt_s, 2)}), flush=True)
 
-    # epoch model: alternating schedule -> half the epochs are patch
-    refr_per_epoch = n / interval
+    # epoch model: alternating schedule -> half the epochs are patch.
+    # Refreshes are tick-keyed to global_step at occ_update_interval —
+    # NOT to dispatch-chunk boundaries (max_dispatch_steps adds chunks
+    # below the interval without extra refreshes)
+    refr_per_epoch = n / cfg.occ_update_interval
     t_epoch_mixed = n * (t_rand + t_patch) / 2 \
         + refr_per_epoch * refresh_s
     print(json.dumps({

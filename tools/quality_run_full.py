@@ -115,11 +115,16 @@ def main():
         "frames": [len(train_scene), len(val_scene)],
         "pano": [train_scene.H_lidar, train_scene.W_lidar]}}), flush=True)
 
-    rng = np.random.default_rng(args.seed * 1000 + start_ep)
     for ep in range(start_ep, args.epochs + 1):
         tr.epoch = ep
         te0 = time.time()
-        stats = tr.train_one_epoch(order=rng.permutation(len(train_scene)))
+        # epoch order keyed to (seed, epoch) — resume-INVARIANT: a run
+        # restarted at any epoch draws the same orders the uninterrupted
+        # run would have (no hidden resume-point variable in the two-arm
+        # comparison)
+        order = np.random.default_rng(
+            args.seed * 100003 + ep).permutation(len(train_scene))
+        stats = tr.train_one_epoch(order=order)
         print(json.dumps({"epoch": ep, "loss": round(stats.loss, 3),
                           "epoch_s": round(time.time() - te0, 1),
                           "t": round(time.time() - t0, 1),
