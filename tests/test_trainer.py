@@ -223,6 +223,37 @@ def test_refine_checkpoint_preferred_for_eval(scene, tmp_path):
     assert not tr3.unet_trained  # plain epoch ckpt predates refine
 
 
+def test_stale_refine_checkpoint_not_preferred(scene, tmp_path):
+    """Staleness guard: training resumed PAST the refine stage writes newer
+    epoch checkpoints; a pre-resume {name}_refine.pkl must not shadow them
+    (its U-Net refined an older field)."""
+    import os
+
+    from nvsf_tpu.train.checkpoint import resolve_checkpoint
+
+    tr = _make_trainer(scene, workspace=str(tmp_path),
+                       render_mode="occupancy", num_steps_occ=16,
+                       occ_grid_size=32)
+    tr.workspace = str(tmp_path)
+    tr.epoch = 1
+    tr.train_one_epoch(order=np.arange(2))
+    tr.save_checkpoint(full=True)
+    tr.refine(steps=3, log_fn=None)
+    ck = os.path.join(str(tmp_path), "checkpoints")
+    refine_p = os.path.join(ck, "nvsf_refine.pkl")
+    # refine is newest -> preferred
+    assert resolve_checkpoint(str(tmp_path), "nvsf", "latest",
+                              prefer_refine=True) == refine_p
+    # resume past refine: a NEWER epoch checkpoint appears
+    tr.epoch = 2
+    tr.train_one_epoch(order=np.arange(2))
+    newer = tr.save_checkpoint(full=True)
+    os.utime(refine_p, (os.path.getmtime(newer) - 10,) * 2)
+    got = resolve_checkpoint(str(tmp_path), "nvsf", "latest",
+                             prefer_refine=True)
+    assert got != refine_p and got.endswith(".pkl")
+
+
 def test_dispatch_cap_preserves_refresh_cadence(scene, tmp_path):
     """max_dispatch_steps adds scan-dispatch boundaries (tunnel-watchdog
     safety for slow shapes) WITHOUT changing when occupancy refreshes fire:
