@@ -115,6 +115,18 @@ def test_sharded_step_collectives_and_flops():
     # no accidental all-to-all / reduce-scatter in a replicated-params DP
     assert "all-to-all" not in stats, stats
     assert stats["flops"] > 0
+    # per-op attribution + the shared aggregation formatter
+    from nvsf_tpu.parallel.mesh import aggregate_collectives
+    per_op = collective_stats(compiled, per_op=True)
+    rows = aggregate_collectives(per_op["ops"])
+    assert rows, per_op
+    # rows are ((kind, source), {count, bytes}) sorted by payload desc
+    byts = [v["bytes"] for _, v in rows]
+    assert byts == sorted(byts, reverse=True)
+    assert sum(v["count"] for _, v in rows) == len(per_op["ops"])
+    assert sum(v["bytes"] for _, v in rows) == \
+        sum(op["bytes"] for op in per_op["ops"])
+    assert aggregate_collectives(per_op["ops"], top=1) == rows[:1]
 
 
 @pytest.mark.slow
