@@ -51,6 +51,10 @@ ARMS = {
     "lr3": {"lr": 3e-3},
     # reference encoder shape for contrast
     "refshape": {},
+    # production config on a small pano: rays-per-frame-pixel coverage
+    # rises 3% -> 60% per step, interpolating toward the known-good
+    # small-scale regime with EVERYTHING else at production values
+    "smallpano": {},
 }
 
 
@@ -108,9 +112,10 @@ def main():
     wait_for_tpu()
     over = dict(ARMS[args.arm])
     shape = "reference" if args.arm == "refshape" else "tuned"
+    pano = (33, 103) if args.arm == "smallpano" else None
     cfg, tr, scene, _ = build_flagship_trainer(
         args.frames, 120, f"/tmp/nvsf_diag_{args.arm}", shape=shape,
-        extra_overrides=over or None)
+        extra_overrides=over or None, pano=pano)
     print(json.dumps({"arm": args.arm, "frames": len(scene),
                       "overrides": {k: str(v) for k, v in over.items()}}),
           flush=True)

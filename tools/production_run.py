@@ -40,7 +40,7 @@ def hbm_stats():
 
 def build_flagship_trainer(frames: int, epochs: int, workspace: str,
                            shape: str = "tuned", seed: int = 0,
-                           extra_overrides: dict = None):
+                           extra_overrides: dict = None, pano=None):
     """The SHIPPED flagship config (configs/kitti360_1908.txt) bound to a
     synthetic stand-in scene at full KITTI-360 geometry. Shared by
     production_run (throughput/HBM proof) and quality_run_full (quality
@@ -69,7 +69,8 @@ def build_flagship_trainer(frames: int, epochs: int, workspace: str,
                     flow_n_levels=16, flow_n_features_per_level=8)
     elif shape != "tuned":
         raise ValueError(f"unknown shape {shape!r}")
-    spec = SyntheticSceneSpec(num_frames=frames, H_lidar=66, W_lidar=1030,
+    Hl, Wl = pano or (66, 1030)
+    spec = SyntheticSceneSpec(num_frames=frames, H_lidar=Hl, W_lidar=Wl,
                               H=94, W=352, max_depth=80.0, scale=1.0 / 81.0)
     train_scene = make_synthetic_scene(spec, split="train")
     val_scene = make_synthetic_scene(spec, split="val")
