@@ -45,6 +45,43 @@ def near_far_from_aabb(rays_o, rays_d, aabb, min_near=0.05):
     return nears, fars
 
 
+def stratified_segment_jitter(key, z_sel, sample_dist, T, K):
+    """Spread compacted samples over their LOCAL segments (unbiased
+    stratified quadrature for occupancy-compacted rendering).
+
+    ``compact_samples`` picks K evenly-strided occupied candidates; with an
+    uncarved grid and constant per-ray near/far (the LiDAR branch) every
+    step then supervises the SAME ~K radii — the pre-compaction +-0.5 *
+    sample_dist jitter covers only K/T of each inter-sample gap, leaving
+    the field between the comb shells unsupervised (the round-4
+    production-scale fog-collapse mechanism). The reference's CUDA marcher
+    never has this failure mode: it steps CONTINUOUSLY with per-step
+    perturbation through occupied space (``raymarching.cu:388-427``).
+
+    Midpoint-bin stratification: each selected z is drawn uniformly from
+    [z - w_l, z + w_r] where w_l/w_r reach to the MIDPOINT of the gap to
+    its neighbour (sample_dist/2 at the span boundaries), each capped at
+    sample_dist * T/K (half the delta clamp — no point stratifying across
+    a grid-carved empty gap wider than the fully-occupied stride).
+    Adjacent intervals touch at gap midpoints, so order is preserved, and
+    at the fully-occupied stride the bin union covers the whole span.
+
+    z_sel: [N, K] ascending compacted depths; sample_dist: [N, 1] dense
+    candidate spacing. Returns jittered [N, K], still ascending.
+    """
+    N = z_sel.shape[0]
+    gap_r = jnp.concatenate(
+        [z_sel[:, 1:] - z_sel[:, :-1],
+         jnp.broadcast_to(sample_dist, (N, 1))], axis=-1)
+    gap_l = jnp.concatenate(
+        [jnp.broadcast_to(sample_dist, (N, 1)), gap_r[:, :-1]], axis=-1)
+    half_cap = sample_dist * (T / K)      # half the delta clamp
+    w_l = jnp.minimum(0.5 * gap_l, half_cap)
+    w_r = jnp.minimum(0.5 * gap_r, half_cap)
+    u = jax.random.uniform(key, z_sel.shape)
+    return z_sel - w_l + u * (w_l + w_r)
+
+
 def sample_pdf(key, bins, weights, n_samples, det=False):
     """Inverse-CDF hierarchical sampling (``renderer_dynamic.py:8-52``).
 
@@ -92,6 +129,10 @@ class RendererSpec:
                                    # streaming eval marcher (16 beat 32 at
                                    # every K in the r3 sweep: finer exit
                                    # granularity outweighs loop overhead)
+    occ_jitter: bool = True        # post-compaction stratified segment
+                                   # jitter (the r4 fog-collapse fix);
+                                   # False = the pre-r4 comb sampling,
+                                   # kept as a diagnosis/A-B arm
     shard_hint: object = None      # optional callable applied to flat
                                    # per-sample tensors (leading axis =
                                    # rays*samples) — set by the Trainer on
@@ -256,6 +297,10 @@ class RendererSpec:
 
         z_vals, valid = occ_spec.compact_samples(
             occ_grid, rays_o, rays_d, z_cand, K, occ_thresh)   # [N, K]
+        if perturb and self.occ_jitter:
+            key, kj = jax.random.split(key)
+            z_vals = stratified_segment_jitter(kj, z_vals, sample_dist,
+                                               T, K)
 
         xyzs = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
         xyzs = jnp.clip(xyzs, aabb[:3], aabb[3:])
@@ -357,6 +402,10 @@ class RendererSpec:
                                                     z_l, K, occ_thresh)
             z_c, valid_c = occ_spec.compact_samples(occ_grid_c, ro_c, rd_c,
                                                     z_c, K, occ_thresh)
+            if perturb and self.occ_jitter:
+                key, kjl, kjc = jax.random.split(key, 3)
+                z_l = stratified_segment_jitter(kjl, z_l, sd_l, T, K)
+                z_c = stratified_segment_jitter(kjc, z_c, sd_c, T, K)
         else:
             valid_l = valid_c = None
 

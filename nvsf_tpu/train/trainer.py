@@ -81,7 +81,8 @@ def renderer_spec_from_config(cfg: NVSFConfig,
         max_ray_batch=cfg.max_ray_batch,
         compute_dtype="bfloat16" if cfg.fp16 else cfg.compute_dtype,
         remat_chunks=cfg.remat_chunks,
-        stream_slab=cfg.stream_slab)
+        stream_slab=cfg.stream_slab,
+        occ_jitter=cfg.occ_jitter)
 
 
 def make_optimizer(cfg: NVSFConfig, field: NVSFFieldSpec, params):

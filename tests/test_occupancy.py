@@ -62,6 +62,47 @@ def test_compaction_fewer_than_k():
     assert ((zs[v] >= 0.24) & (zs[v] < 0.51)).all()
 
 
+def test_stratified_jitter_covers_comb_gaps():
+    """With an uncarved grid, compaction picks an evenly-strided comb of
+    radii shared by every constant-near/far LiDAR ray; the post-compaction
+    stratified jitter must spread samples over the WHOLE inter-comb gap
+    (the round-4 production fog-collapse mechanism), stay ascending, and
+    stay within the selected span."""
+    from nvsf_tpu.render.renderer import stratified_segment_jitter
+    T, K = 64, 8
+    near, far = 0.1, 0.9
+    z_cand = jnp.linspace(near, far, T)[None, :]
+    spec = OccupancyGridSpec(grid_size=8, bound=1.0)
+    grid = spec.init()                       # fully occupied -> stride 8
+    o = jnp.zeros((1, 3))
+    d = jnp.array([[1.0, 0.0, 0.0]])
+    z_sel, valid = spec.compact_samples(grid, o, d, z_cand, K=K, thresh=0.01)
+    assert np.asarray(valid).all()
+    sdv = (far - near) / T
+    sd = jnp.full((1, 1), sdv)
+    z0 = np.asarray(z_sel)[0]
+    zs = []
+    for i in range(200):
+        zj = stratified_segment_jitter(jax.random.PRNGKey(i), z_sel, sd,
+                                       T, K)
+        zj = np.asarray(zj)[0]
+        assert np.all(np.diff(zj) >= 0)              # ascending
+        assert zj.min() >= z0[0] - 0.5 * sdv - 1e-6  # in the padded span
+        assert zj.max() <= z0[-1] + 0.5 * sdv + 1e-6
+        zs.append(zj)
+    zs = np.concatenate(zs)
+    # coverage: every dense candidate bin between the first and last comb
+    # point receives samples (the old +-0.5*sd jitter left 7/8 empty)
+    hist, _ = np.histogram(zs, bins=T - K, range=(z0[0], z0[-1]))
+    assert (hist > 0).all(), hist
+    # interior samples are expectation-centered on their comb point;
+    # boundary samples shift inward by (w_r - w_l)/2 <= half the stride
+    mean = np.stack(np.split(zs, 200)).mean(axis=0)
+    np.testing.assert_allclose(mean[1:-1], z0[1:-1], atol=sdv * 8 * 0.15)
+    np.testing.assert_allclose(mean[[0, -1]], z0[[0, -1]],
+                               atol=sdv * 8 * 0.5)
+
+
 def test_occupancy_grid_update_clears_empty_space():
     spec = OccupancyGridSpec(grid_size=16, bound=1.0, decay=0.5,
                              update_fraction=1)

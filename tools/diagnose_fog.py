@@ -35,8 +35,11 @@ ARMS = {
     # shipped flagship config, tuned shape (the fast one) — expect collapse
     "baseline": {},
     # dense 768-sample uniform rendering (the reference's live path);
-    # isolates the occupancy-compaction sampling
-    "uniform": {"render_mode": "uniform", "remat_chunks": 8},
+    # isolates the occupancy-compaction sampling. Dispatch capped: the
+    # dense step is ~5.5 s and a 16-step scan dispatch trips the tunnel's
+    # ~60 s device-program watchdog (worker crash, observed)
+    "uniform": {"render_mode": "uniform", "remat_chunks": 8,
+                "max_dispatch_steps": 4},
     # no scene-flow loss (63-frame temporal structure suspect)
     "noflow": {"flow_loss": False},
     # fp32 compute (isolates bf16)
@@ -55,6 +58,14 @@ ARMS = {
     # rises 3% -> 60% per step, interpolating toward the known-good
     # small-scale regime with EVERYTHING else at production values
     "smallpano": {},
+    # the r4 fix reverted: pre-fix comb sampling (expect collapse) —
+    # the A/B that isolates stratified_segment_jitter
+    "nojitter": {"occ_jitter": False},
+    # candidate fix: URF line-of-sight loss supervises the weight
+    # distribution along each LiDAR ray toward a delta at the measured
+    # depth — the textbook anti-fog mechanism (the reference gates the
+    # same loss behind --use_urf_loss)
+    "urf": {"use_urf_loss": True},
 }
 
 
