@@ -66,6 +66,10 @@ ARMS = {
     # depth — the textbook anti-fog mechanism (the reference gates the
     # same loss behind --use_urf_loss)
     "urf": {"use_urf_loss": True},
+    # supervision-density lever at FULL production pano: 4x the LiDAR
+    # rays/step raises per-frame pixel coverage 3% -> 12% per step —
+    # tests the coverage-rate hypothesis without changing geometry
+    "rays8k": {"num_rays_lidar": 8192},
 }
 
 
