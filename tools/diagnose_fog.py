@@ -122,14 +122,21 @@ def main():
     ap.add_argument("--arm", choices=sorted(ARMS), default="baseline")
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--epochs", type=int, default=5)
+    ap.add_argument("--pano", default=None,
+                    help="HxW pano override, composes with any arm "
+                         "(e.g. --arm uniform --pano 33x103)")
     args = ap.parse_args()
 
     wait_for_tpu()
     over = dict(ARMS[args.arm])
     shape = "reference" if args.arm == "refshape" else "tuned"
     pano = (33, 103) if args.arm == "smallpano" else None
+    if args.pano:
+        h, w = args.pano.lower().split("x")
+        pano = (int(h), int(w))
+    tag = args.arm + (f"_{pano[0]}x{pano[1]}" if args.pano else "")
     cfg, tr, scene, _ = build_flagship_trainer(
-        args.frames, 120, f"/tmp/nvsf_diag_{args.arm}", shape=shape,
+        args.frames, 120, f"/tmp/nvsf_diag_{tag}", shape=shape,
         extra_overrides=over or None, pano=pano)
     print(json.dumps({"arm": args.arm, "frames": len(scene),
                       "overrides": {k: str(v) for k, v in over.items()}}),
