@@ -21,6 +21,7 @@ Usage: python tools/diagnose_fog.py --arm baseline|uniform|noflow|fp32|...
 
 import argparse
 import json
+import re
 import sys
 import time
 
@@ -132,13 +133,16 @@ def main():
     shape = "reference" if args.arm == "refshape" else "tuned"
     pano = (33, 103) if args.arm == "smallpano" else None
     if args.pano:
-        h, w = args.pano.lower().split("x")
-        pano = (int(h), int(w))
+        m = re.fullmatch(r"(\d+)x(\d+)", args.pano.lower())
+        if m is None:
+            ap.error(f"--pano expected HxW, e.g. 33x103 (got {args.pano!r})")
+        pano = (int(m.group(1)), int(m.group(2)))
     tag = args.arm + (f"_{pano[0]}x{pano[1]}" if args.pano else "")
     cfg, tr, scene, _ = build_flagship_trainer(
         args.frames, 120, f"/tmp/nvsf_diag_{tag}", shape=shape,
         extra_overrides=over or None, pano=pano)
     print(json.dumps({"arm": args.arm, "frames": len(scene),
+                      "pano": [scene.H_lidar, scene.W_lidar],
                       "overrides": {k: str(v) for k, v in over.items()}}),
           flush=True)
     t0 = time.time()
