@@ -188,6 +188,31 @@ def evaluate(trainer, scene, *, use_refine: bool = False, use_ema: bool = True,
                 np.savetxt(os.path.join(
                     save_dir, f"{name}_{fi:04d}_pcd_lidar.txt"), pts,
                     fmt="%.6f")
+                # world-frame cloud + per-point depth-error cloud — the
+                # reference's remaining eval artifacts
+                # (``nvsf/nerf/trainer.py:1675-1712``,
+                # ``utils.py:444-474`` get_pcd_bound_to_world,
+                # ``error_matrices.py:517-546`` depth_error_ratio: clamp
+                # both depths to [min,max] range then gt - pred, meters)
+                pose = np.array(scene.poses_lidar[fi], np.float64)
+                pose[:3, 3] = pose[:3, 3] / cfg.scale + \
+                    np.asarray(cfg.offset)
+                pw = (pose @ np.column_stack(
+                    [pts[:, :3], np.ones(len(pts))]).T).T[:, :3]
+                np.savetxt(os.path.join(
+                    save_dir, f"{name}_{fi:04d}_pcd_world.txt"),
+                    np.column_stack([pw, pts[:, 3]]), fmt="%f")
+                max_m = cfg.lidar_max_depth / cfg.scale
+                err_pano = (np.clip(gt_depth / cfg.scale, 1e-3, max_m)
+                            - np.clip(pred_depth / cfg.scale, 1e-3, max_m))
+                err_pts = convert.pano_to_lidar_with_intensities(
+                    pred_depth / cfg.scale, err_pano,
+                    scene.intrinsics_lidar, scene.intrinsics_hoz_lidar)
+                err_w = (pose @ np.column_stack(
+                    [err_pts[:, :3], np.ones(len(err_pts))]).T).T[:, :3]
+                np.savetxt(os.path.join(
+                    save_dir, f"{name}_{fi:04d}_pcd_error_world.txt"),
+                    np.column_stack([err_w, err_pts[:, 3]]), fmt="%f")
 
         # ---------------- camera ----------------
         if cfg.enable_rgb and scene.images is not None:

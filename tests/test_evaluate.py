@@ -116,6 +116,16 @@ def test_evaluate_produces_all_categories(trained, tmp_path):
     assert os.path.exists(tmp_path / "t_0000_depth.png")
     assert os.path.exists(tmp_path / "t_0000_rgb.png")
     assert os.path.exists(tmp_path / "t_0000_pcd_lidar.txt")
+    # world-frame cloud + depth-error cloud (reference
+    # ``trainer.py:1675-1712`` output contract)
+    pw = np.loadtxt(tmp_path / "t_0000_pcd_world.txt")
+    pe = np.loadtxt(tmp_path / "t_0000_pcd_error_world.txt")
+    assert pw.shape[1] == 4 and pe.shape[1] == 4
+    assert pw.shape[0] == pe.shape[0] > 0
+    assert np.isfinite(pw).all() and np.isfinite(pe).all()
+    # error column is bounded by the lidar range in meters
+    max_m = trained.cfg.lidar_max_depth / trained.cfg.scale
+    assert np.abs(pe[:, 3]).max() <= max_m + 1e-6
     j = json.loads((tmp_path / "t_error_matrix_combined.json").read_text())
     assert j["category"] == "combined"
 
