@@ -60,6 +60,9 @@ ARMS = {
     "prod80": {"_flagship": True},   # == smallpano bridge (known stall)
     "alphafix": {"_scene": dict(max_depth=80.0, scale=1.0 / 81.0),
                  "alpha_d": 81.0 / 26.0},
+    # the working protocol never set fp16 (fp32 everywhere); production
+    # trains bf16 under --fp16 — its own axis
+    "fp16": {"fp16": True},
 }
 
 
@@ -110,7 +113,7 @@ def build(arm_name, over, epochs, seed=0):
         min_near=1.0 * spec.scale, active_sensor=True,
         intrinsics_lidar=list(spec.intrinsics_lidar),
         intrinsics_hoz_lidar=list(spec.intrinsics_hoz_lidar),
-        dataloader="synthetic", path="", fp16=True,
+        dataloader="synthetic", path="",
         iters=epochs * len(train_scene), epochs=epochs, workspace=ws)
     cfg_d.update(over)
     cfg = NVSFConfig.from_dict(cfg_d).finalize(
@@ -154,7 +157,7 @@ def run_arm(arm_name, epochs, eval_every, seed=0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--arms", default="proto,scale80,samp768,tables19,"
-                                      "frames16,prod25")
+                                      "frames16,fp16,prod25")
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--eval-every", type=int, default=5)
     ap.add_argument("--seed", type=int, default=0)

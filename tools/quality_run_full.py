@@ -125,10 +125,18 @@ def main():
         order = np.random.default_rng(
             args.seed * 100003 + ep).permutation(len(train_scene))
         stats = tr.train_one_epoch(order=order)
-        print(json.dumps({"epoch": ep, "loss": round(stats.loss, 3),
-                          "epoch_s": round(time.time() - te0, 1),
-                          "t": round(time.time() - t0, 1),
-                          **hbm_stats()}), flush=True)
+        row = {"epoch": ep, "loss": round(stats.loss, 3),
+               "loss_d": round(stats.parts.get("loss_d", float("nan")), 2),
+               "epoch_s": round(time.time() - te0, 1),
+               "t": round(time.time() - t0, 1), **hbm_stats()}
+        # fog-collapse autopsy probe every epoch (r4/r5 pass-fail
+        # signature: sigma profile, grid max, pred-vs-gt depth)
+        try:
+            from diagnose_fog import probe
+            row.update(probe(tr, cfg, train_scene))
+        except Exception as e:
+            row["probe_err"] = str(e)[:80]
+        print(json.dumps(row), flush=True)
         if ep % args.eval_every == 0 or ep == args.epochs:
             tr.save_checkpoint(full=True)
             tv0 = time.time()
