@@ -63,10 +63,18 @@ ARMS = {
     # the working protocol never set fp16 (fp32 everywhere); production
     # trains bf16 under --fp16 — its own axis
     "fp16": {"fp16": True},
+    # occupancy-sampling discriminators: the ONLY protocol variant with
+    # recorded early epochs (RMSE 4.5 by ep10) was the r2 UNIFORM dense
+    # render; every stalling run is occupancy-mode. 'uniform' removes the
+    # occupancy path entirely; 'occfull' keeps the occupancy machinery but
+    # kills the compaction (K = all 192 candidates)
+    "uniform": {"render_mode": "uniform"},
+    "occfull": {"num_steps_occ": 192, "num_steps_occ_rgb": 192},
 }
 
 
-def build(arm_name, over, epochs, seed=0):
+def build(arm_name, over, epochs, seed=0, pano=None, rays=None,
+          frames=None):
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       "/tmp/nvsf_tpu_jax_cache_tpu")
@@ -84,6 +92,10 @@ def build(arm_name, over, epochs, seed=0):
     spec_kw = dict(num_frames=8, H_lidar=32, W_lidar=96, H=40, W=56,
                    max_depth=25.0, scale=1.0 / 26.0)
     spec_kw.update(scene_over)
+    if pano:
+        spec_kw.update(H_lidar=pano[0], W_lidar=pano[1])
+    if frames:
+        spec_kw["num_frames"] = frames
     spec = SyntheticSceneSpec(**spec_kw)
     train_scene = make_synthetic_scene(spec, split="train")
     val_scene = make_synthetic_scene(spec, split="val")
@@ -116,16 +128,20 @@ def build(arm_name, over, epochs, seed=0):
         dataloader="synthetic", path="",
         iters=epochs * len(train_scene), epochs=epochs, workspace=ws)
     cfg_d.update(over)
+    if rays:
+        cfg_d.update(num_rays=rays, num_rays_lidar=rays)
     cfg = NVSFConfig.from_dict(cfg_d).finalize(
         steps_per_epoch=len(train_scene))
     tr = Trainer(cfg, train_scene, workspace=ws, seed=seed)
     return cfg, tr, train_scene, val_scene
 
 
-def run_arm(arm_name, epochs, eval_every, seed=0):
+def run_arm(arm_name, epochs, eval_every, seed=0, pano=None, rays=None,
+            frames=None):
     from nvsf_tpu.train.evaluate import evaluate
     cfg, tr, train_scene, val_scene = build(arm_name, ARMS[arm_name],
-                                            epochs, seed)
+                                            epochs, seed, pano=pano,
+                                            rays=rays, frames=frames)
     print(json.dumps({"arm": arm_name, "frames": len(train_scene),
                       "scale": round(cfg.scale, 5),
                       "K": [cfg.num_steps, cfg.num_steps_occ],
@@ -156,20 +172,29 @@ def run_arm(arm_name, epochs, eval_every, seed=0):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--arms", default="proto,scale80,samp768,tables19,"
-                                      "frames16,fp16,prod25")
+    ap.add_argument("--arms", default="proto,uniform,occfull,scale80,"
+                                      "samp768,tables19,frames16,fp16,"
+                                      "prod25")
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--eval-every", type=int, default=5)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--backend", default="tpu", choices=["cpu", "tpu"])
+    ap.add_argument("--pano", default=None, help="HxW override, e.g. 24x64")
+    ap.add_argument("--rays", type=int, default=None)
+    ap.add_argument("--frames", type=int, default=None)
     args = ap.parse_args()
+    pano = None
+    if args.pano:
+        h, w = args.pano.lower().split("x")
+        pano = (int(h), int(w))
     import jax
     if args.backend == "cpu":
         jax.config.update("jax_platforms", "cpu")
     else:
         wait_for_tpu()
     for arm in args.arms.split(","):
-        run_arm(arm, args.epochs, args.eval_every, seed=args.seed)
+        run_arm(arm, args.epochs, args.eval_every, seed=args.seed,
+                pano=pano, rays=args.rays, frames=args.frames)
 
 
 if __name__ == "__main__":
