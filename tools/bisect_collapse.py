@@ -74,7 +74,7 @@ ARMS = {
 
 
 def build(arm_name, over, epochs, seed=0, pano=None, rays=None,
-          frames=None):
+          frames=None, cfg_epochs=None):
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       "/tmp/nvsf_tpu_jax_cache_tpu")
@@ -126,7 +126,12 @@ def build(arm_name, over, epochs, seed=0, pano=None, rays=None,
         intrinsics_lidar=list(spec.intrinsics_lidar),
         intrinsics_hoz_lidar=list(spec.intrinsics_hoz_lidar),
         dataloader="synthetic", path="",
-        iters=epochs * len(train_scene), epochs=epochs, workspace=ws)
+        # LR-schedule horizon (lr * 0.1**(step/iters)) decoupled from the
+        # TRAINED epochs: every recorded working run used a 60-150 epoch
+        # horizon; compressing it to the bisect's 20 trained epochs would
+        # confound every arm with a 3-7x faster LR decay
+        iters=(cfg_epochs or epochs) * len(train_scene),
+        epochs=cfg_epochs or epochs, workspace=ws)
     cfg_d.update(over)
     if rays:
         cfg_d.update(num_rays=rays, num_rays_lidar=rays)
@@ -137,11 +142,12 @@ def build(arm_name, over, epochs, seed=0, pano=None, rays=None,
 
 
 def run_arm(arm_name, epochs, eval_every, seed=0, pano=None, rays=None,
-            frames=None):
+            frames=None, cfg_epochs=None):
     from nvsf_tpu.train.evaluate import evaluate
     cfg, tr, train_scene, val_scene = build(arm_name, ARMS[arm_name],
                                             epochs, seed, pano=pano,
-                                            rays=rays, frames=frames)
+                                            rays=rays, frames=frames,
+                                            cfg_epochs=cfg_epochs)
     print(json.dumps({"arm": arm_name, "frames": len(train_scene),
                       "scale": round(cfg.scale, 5),
                       "K": [cfg.num_steps, cfg.num_steps_occ],
@@ -180,6 +186,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--backend", default="tpu", choices=["cpu", "tpu"])
     ap.add_argument("--pano", default=None, help="HxW override, e.g. 24x64")
+    ap.add_argument("--cfg-epochs", type=int, default=60,
+                    help="LR-schedule horizon in epochs (keep at the "
+                         "working protocol's 60 while training fewer)")
     ap.add_argument("--rays", type=int, default=None)
     ap.add_argument("--frames", type=int, default=None)
     args = ap.parse_args()
@@ -194,7 +203,8 @@ def main():
         wait_for_tpu()
     for arm in args.arms.split(","):
         run_arm(arm, args.epochs, args.eval_every, seed=args.seed,
-                pano=pano, rays=args.rays, frames=args.frames)
+                pano=pano, rays=args.rays, frames=args.frames,
+                cfg_epochs=args.cfg_epochs)
 
 
 if __name__ == "__main__":
