@@ -133,6 +133,20 @@ class RendererSpec:
                                    # jitter (the r4 fog-collapse fix);
                                    # False = the pre-r4 comb sampling,
                                    # kept as a diagnosis/A-B arm
+    occ_delta_clamp: float = 0.0   # per-sample delta cap in units of the
+                                   # dense candidate spacing sample_dist.
+                                   # 0 = legacy 2*(T/K)*sample_dist gap
+                                   # clamp (each kept sample inherits its
+                                   # whole skipped span). The reference's
+                                   # CUDA marcher composites with the
+                                   # LOCAL step dt and skipped space adds
+                                   # no opacity (raymarching.cu:388-427);
+                                   # occ_delta_clamp=1.0 reproduces that
+                                   # quadrature — at compaction ratio K/T
+                                   # = 1/8 the legacy gap-deltas amplify
+                                   # a weak near-sensor fog's occlusion
+                                   # 8-16x, which is the r5-bisected
+                                   # production fog-collapse mechanism
     shard_hint: object = None      # optional callable applied to flat
                                    # per-sample tensors (leading axis =
                                    # rays*samples) — set by the Trainer on
@@ -148,6 +162,16 @@ class RendererSpec:
     @property
     def _cdtype(self):
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+    def _occ_delta_cap(self, sample_dist, T, K):
+        """Per-sample delta cap for occupancy-compacted compositing.
+
+        occ_delta_clamp > 0: cap at clamp * sample_dist — the reference's
+        local-dt quadrature (skipped space contributes no opacity,
+        ``raymarching.cu:388-427``). 0: legacy 2*(T/K) gap clamp (each
+        kept sample's sigma acts over its whole skipped span)."""
+        c = self.occ_delta_clamp
+        return sample_dist * (c if c > 0 else 2.0 * (T / K))
 
     def _query_density(self, params, pts, time, cal_lidar_color,
                        skip_warp=False):
@@ -315,8 +339,11 @@ class RendererSpec:
         deltas = jnp.concatenate(
             [deltas, jnp.broadcast_to(sample_dist, (N, 1))], axis=-1)
         # clamp segment length: gaps spanning skipped EMPTY space must not
-        # inherit this sample's sigma over the whole gap
-        deltas = jnp.clip(deltas, 0.0, 2.0 * sample_dist * (T / K))
+        # inherit this sample's sigma over the whole gap (and with
+        # occ_delta_clamp set, not even skipped OCCUPIED space — the
+        # reference's local-dt quadrature)
+        deltas = jnp.clip(deltas, 0.0,
+                          self._occ_delta_cap(sample_dist, T, K))
         sigmas = jnp.where(valid, sigmas, 0.0)
 
         exponent = 2.0 if self.active_sensor else 1.0
@@ -427,7 +454,7 @@ class RendererSpec:
                 [deltas, jnp.broadcast_to(sample_dist, (N, 1))], axis=-1)
             if valid is not None:
                 deltas = jnp.clip(deltas, 0.0,
-                                  2.0 * sample_dist * (T / K))
+                                  self._occ_delta_cap(sample_dist, T, K))
                 sigmas = jnp.where(valid, sigmas, 0.0)
             alphas = 1.0 - jnp.exp(-exponent * deltas * self.density_scale
                                    * sigmas)
@@ -542,7 +569,8 @@ class RendererSpec:
         deltas = z_vals[..., 1:] - z_vals[..., :-1]
         deltas = jnp.concatenate(
             [deltas, jnp.broadcast_to(sample_dist, (N, 1))], axis=-1)
-        deltas = jnp.clip(deltas, 0.0, 2.0 * sample_dist * (T / K))
+        deltas = jnp.clip(deltas, 0.0,
+                          self._occ_delta_cap(sample_dist, T, K))
         if K % S:
             # Pad the sample axis up to a slab multiple with dead samples
             # (valid=False -> sigma forced to 0, weight 0). Without this,

@@ -82,7 +82,8 @@ def renderer_spec_from_config(cfg: NVSFConfig,
         compute_dtype="bfloat16" if cfg.fp16 else cfg.compute_dtype,
         remat_chunks=cfg.remat_chunks,
         stream_slab=cfg.stream_slab,
-        occ_jitter=cfg.occ_jitter)
+        occ_jitter=cfg.occ_jitter,
+        occ_delta_clamp=cfg.occ_delta_clamp)
 
 
 def make_optimizer(cfg: NVSFConfig, field: NVSFFieldSpec, params):
@@ -142,6 +143,30 @@ class Trainer:
             if scene.images_lidar is not None:
                 d["panos"] = jnp.asarray(scene.images_lidar)  # [F,Hl,Wl,3]
                 d["panos_flat"] = d["panos"].reshape(len(scene), -1, 3)
+                # supervision-truncation guard: GT depths (scaled) beyond
+                # the LiDAR far plane can never be rendered — depth loss
+                # floors at |far - gt| and raydrop "paints" onto whatever
+                # geometry fits. A config whose far plane cuts off real
+                # returns is near-certainly mis-scaled (e.g. the r5-found
+                # double-scaling: meter near/fars passed through
+                # finalize() a second time -> far = 80*scale^2 ~ 1 world
+                # meter, the actual cause of the r4 "production fog
+                # collapse"). Hard-fail instead of silently collapsing.
+                import numpy as _np
+                _pan = _np.asarray(scene.images_lidar)
+                _hit = _pan[..., 0] > 0.5
+                if _hit.any():
+                    _q99 = float(_np.quantile(_pan[..., 2][_hit], 0.99))
+                    if _q99 > float(cfg.lidar_max_depth):
+                        raise ValueError(
+                            f"lidar_max_depth={cfg.lidar_max_depth:.4g} "
+                            f"(scaled) truncates the GT depth "
+                            f"distribution (p99={_q99:.4g}): "
+                            ">=1% of returns lie beyond the far plane "
+                            "and can never be supervised. Near/far are "
+                            "scaled by NVSFConfig.finalize() exactly "
+                            "once — pass METERS through finalize(), or "
+                            "scaled values without it.")
                 if (cfg.grad_norm_smooth or cfg.spatial_smooth
                         or cfg.tv_loss or cfg.grad_loss):
                     # GT-pano double gradients are a pure per-frame

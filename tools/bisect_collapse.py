@@ -63,6 +63,26 @@ ARMS = {
     # the working protocol never set fp16 (fp32 everywhere); production
     # trains bf16 under --fp16 — its own axis
     "fp16": {"fp16": True},
+    # proto with the r4 stratified jitter REVERTED: the jitter commit
+    # (87c2f11) is the ONLY nvsf_tpu training-path change between the
+    # recorded-good 150-epoch protocol run (a1948e2) and HEAD — if proto
+    # stalls and nojit trains, the "fog fix" is itself the regression
+    "nojit": {"occ_jitter": False},
+    # flow_loss defaults FALSE — the working protocol trained WITHOUT the
+    # flow field/losses, while every collapsing production run has
+    # flow_loss=True (configs/kitti360_1908.txt): its own axis
+    "flow": {"flow_loss": True},
+    # K-ratio axis (r5 finding): the K64 ablate protocol (1/3 compaction)
+    # trains immediately at HEAD while proto (K24 = 1/8, the flagship's
+    # 96/768 ratio) walls early on BOTH backends. 'k64' reproduces the
+    # working ratio inside this harness; 'clamp1'/'clamp2' keep the
+    # stalling K24 ratio but cap per-sample deltas at 1x/2x the dense
+    # spacing (the reference marcher's local-dt quadrature,
+    # raymarching.cu:388-427) — if clamp cures the K24 stall, whole-gap
+    # deltas amplifying near-fog occlusion is the collapse mechanism
+    "k64": {"num_steps_occ": 64, "num_steps_occ_rgb": 64},
+    "clamp1": {"occ_delta_clamp": 1.0},
+    "clamp2": {"occ_delta_clamp": 2.0},
     # occupancy-sampling discriminators: the ONLY protocol variant with
     # recorded early epochs (RMSE 4.5 by ep10) was the r2 UNIFORM dense
     # render; every stalling run is occupancy-mode. 'uniform' removes the
@@ -120,9 +140,13 @@ def build(arm_name, over, epochs, seed=0, pano=None, rays=None,
             flow_n_levels=4, flow_n_features_per_level=32)
     cfg_d.update(
         num_frames=spec.num_frames, scale=spec.scale, bound=1.0,
-        min_near_lidar=1.0 * spec.scale,
-        lidar_max_depth=spec.max_depth * spec.scale,
-        min_near=1.0 * spec.scale, active_sensor=True,
+        # METERS — finalize() scales into the box exactly once; passing
+        # pre-scaled values double-scaled the far plane to <1 world meter
+        # (the actual cause of every "collapse" this tool was built to
+        # bisect — see VALIDATION.md r5)
+        min_near_lidar=1.0,
+        lidar_max_depth=float(spec.max_depth),
+        min_near=1.0, active_sensor=True,
         intrinsics_lidar=list(spec.intrinsics_lidar),
         intrinsics_hoz_lidar=list(spec.intrinsics_hoz_lidar),
         dataloader="synthetic", path="",

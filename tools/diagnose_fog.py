@@ -71,6 +71,12 @@ ARMS = {
     # rays/step raises per-frame pixel coverage 3% -> 12% per step —
     # tests the coverage-rate hypothesis without changing geometry
     "rays8k": {"num_rays_lidar": 8192},
+    # r5 fix candidate: reference-faithful local-dt quadrature — caps
+    # per-sample deltas at 1x the dense candidate spacing instead of the
+    # whole skipped gap (2*T/K x). At the flagship's 1/8 compaction the
+    # gap-deltas amplify near-fog occlusion 8-16x (the bisected collapse
+    # mechanism); the clamp removes the amplification
+    "clamp": {"occ_delta_clamp": 1.0},
 }
 
 

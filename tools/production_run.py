@@ -74,10 +74,16 @@ def build_flagship_trainer(frames: int, epochs: int, workspace: str,
                               H=94, W=352, max_depth=80.0, scale=1.0 / 81.0)
     train_scene = make_synthetic_scene(spec, split="train")
     val_scene = make_synthetic_scene(spec, split="val")
+    # near/far in METERS: NVSFConfig.finalize() scales them into the box
+    # exactly once (main_nvsf.py:167-169 semantics). Passing pre-scaled
+    # values here DOUBLE-scaled them — lidar_max_depth landed at
+    # 80*scale^2 ~ 0.99 WORLD METERS, putting every LiDAR return beyond
+    # the far plane. That, not a sampling pathology, was the r4
+    # "production fog collapse" (r5 bisect; VALIDATION.md).
     overrides = dict(
         num_frames=spec.num_frames, scale=spec.scale, bound=1.0,
-        min_near_lidar=1.0 * spec.scale, lidar_max_depth=80.0 * spec.scale,
-        min_near=1.0 * spec.scale,
+        min_near_lidar=1.0, lidar_max_depth=float(spec.max_depth),
+        min_near=1.0,
         intrinsics_lidar=list(spec.intrinsics_lidar),
         intrinsics_hoz_lidar=list(spec.intrinsics_hoz_lidar),
         dataloader="synthetic", path="", workspace=workspace,
