@@ -387,3 +387,42 @@ def test_render_skip_warp_reaches_sweep():
     np.testing.assert_allclose(sw_on["depth"][0].reshape(-1),
                                np.asarray(direct["depth_lidar"]),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_delta_clamp_invariant_when_gapless_and_caps_gaps():
+    """occ_delta_clamp (r5, reference local-dt quadrature option):
+    with a fully-occupied grid and K == T there are no skipped gaps —
+    clamp=1.0 must match the legacy quadrature up to the linspace
+    endpoint effect (candidate spacing is (far-near)/(T-1), a factor
+    T/(T-1) above sample_dist=(far-near)/T, so the clamp trims interior
+    deltas ~3% at T=32); with K < T (strided gaps) the clamped path
+    must composite LESS opacity per sample (weights_sum <=), never
+    more."""
+    from nvsf_tpu.render.renderer import RendererSpec
+    from test_renderer import TINY_FIELD
+    import dataclasses
+    base = RendererSpec(field=TINY_FIELD, bound=1.0, min_near_lidar=0.02,
+                        lidar_max_depth=0.9, num_steps=32)
+    clamped = dataclasses.replace(base, occ_delta_clamp=1.0)
+    spec = OccupancyGridSpec(grid_size=8, bound=1.0)
+    grid = spec.init()
+    params = TINY_FIELD.init(jax.random.PRNGKey(0))
+    o = jnp.zeros((8, 3))
+    d = jax.random.normal(jax.random.PRNGKey(1), (8, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    a = base.run_occupancy(params, o, d, 0.5, spec, grid,
+                           num_steps_occ=32, cal_lidar_color=True)
+    b = clamped.run_occupancy(params, o, d, 0.5, spec, grid,
+                              num_steps_occ=32, cal_lidar_color=True)
+    np.testing.assert_allclose(np.asarray(b["depth_lidar"]),
+                               np.asarray(a["depth_lidar"]),
+                               rtol=2e-2)
+    a8 = base.run_occupancy(params, o, d, 0.5, spec, grid,
+                            num_steps_occ=8, cal_lidar_color=True)
+    b8 = clamped.run_occupancy(params, o, d, 0.5, spec, grid,
+                               num_steps_occ=8, cal_lidar_color=True)
+    ws_a = np.asarray(a8["weights_sum_lidar"])
+    ws_b = np.asarray(b8["weights_sum_lidar"])
+    assert (ws_b <= ws_a + 1e-6).all()
+    assert (ws_b < ws_a - 1e-4).any(), \
+        "clamp should reduce per-sample opacity across strided gaps"

@@ -296,3 +296,14 @@ def test_ema_tracks_params(scene):
     p = tr.state["params"]["sigma_net"][0]["w"]
     e = tr.state["ema_params"]["sigma_net"][0]["w"]
     assert not np.allclose(np.asarray(p), np.asarray(e))
+
+
+def test_far_plane_truncation_guard(scene):
+    """r5 regression guard: a LiDAR far plane below the GT depth
+    distribution (the finalize() double-scaling bug class — far landed
+    at max_depth*scale^2 ~ 1 world meter in the production harnesses)
+    must be refused at Trainer construction, not silently collapse."""
+    with pytest.raises(ValueError, match="truncates the GT depth"):
+        _make_trainer(scene,
+                      lidar_max_depth=SCENE_SPEC.max_depth
+                      * SCENE_SPEC.scale ** 2)
